@@ -1,0 +1,53 @@
+"""LakeCatalog — a warehouse directory of LakeTables.
+
+Reference parity: getl's repository of named connections/datasets
+(/root/reference/src/main/groovy/getl/lang/Getl.groovy:491-551) and
+catalog verbs retrieveObjects/exists
+(/root/reference/src/main/groovy/getl/jdbc/TableDataset.groovy:176-191).
+In production this is an Iceberg catalog (Hadoop/REST/Glue); the API
+is the same four verbs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.types import StructType
+
+from getl_spark.lake.table import LakeTable, PartitionSpec
+
+
+class LakeCatalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _loc(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def create_table(
+        self,
+        name: str,
+        schema: StructType,
+        partition_spec: PartitionSpec | None = None,
+        properties: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> LakeTable:
+        if if_not_exists and self.table_exists(name):
+            return self.load_table(name)
+        return LakeTable.create(self._loc(name), schema, partition_spec, properties, name=name)
+
+    def load_table(self, name: str) -> LakeTable:
+        return LakeTable.load(self._loc(name))
+
+    def table_exists(self, name: str) -> bool:
+        return LakeTable.exists(self._loc(name))
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse) if LakeTable.exists(self._loc(d))
+        )
+
+    def drop_table(self, name: str) -> None:
+        if self.table_exists(name):
+            self.load_table(name).drop()

@@ -1,0 +1,518 @@
+"""LakeTable — snapshot-versioned parquet table with atomic commits.
+
+On-disk layout::
+
+    <location>/
+      data/snap-<sid>-<i>-b<bucket>.parquet
+      metadata/v<N>.metadata.json
+      metadata/VERSION            # contains N; updated by atomic rename
+
+Metadata JSON::
+
+    {
+      "format_version": 1,
+      "name": "...",
+      "partition_spec": {"kind": "bucket"|"none", "columns": [...], "num_buckets": 16},
+      "schemas": {"0": <spark StructType json>},
+      "current_schema_id": 0,
+      "evolution_log": [{"result_schema_id": 1, "op": "add|widen|rename", ...}],
+      "snapshots": [{"snapshot_id", "parent_id", "operation", "schema_id",
+                     "summary": {...}, "files": [{"path","bucket","schema_id",
+                     "rows","bytes"}]}],
+      "current_snapshot_id": 3,
+      "properties": {...}
+    }
+
+Scale design notes:
+- The per-snapshot file list is the "manifest". Driver-side bucket
+  pruning (`read(buckets=...)`) selects only the files whose bucket is
+  touched — the same pruning Iceberg does from manifest partition
+  stats. At 100 TB the list becomes a manifest tree; the API is
+  unchanged.
+- Copy-on-write overwrites rewrite only touched buckets; untouched
+  files are carried forward by reference (no data movement).
+- Commits are O(metadata); data files are written once and never
+  mutated, so readers are never blocked and time travel is free.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+FORMAT_VERSION = 1
+
+
+class CommitConflict(Exception):
+    """Another writer committed a conflicting change."""
+
+
+@dataclass
+class PartitionSpec:
+    """bucket(N, cols) partition spec (Iceberg-style bucket transform).
+
+    ``kind`` is "bucket" or "none". The bucket value of a row is
+    ``pmod(xxhash64(*columns), num_buckets)`` — deterministic across
+    sessions, computable on read without storing the column.
+    """
+
+    kind: str = "none"
+    columns: list = field(default_factory=list)
+    num_buckets: int = 0
+
+    @staticmethod
+    def bucket(num_buckets: int, *columns: str) -> "PartitionSpec":
+        return PartitionSpec("bucket", list(columns), num_buckets)
+
+    @staticmethod
+    def none() -> "PartitionSpec":
+        return PartitionSpec("none", [], 0)
+
+    def bucket_expr(self):
+        assert self.kind == "bucket"
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.columns]), F.lit(self.num_buckets))
+
+    def to_json(self) -> dict:
+        return {"kind": self.kind, "columns": self.columns, "num_buckets": self.num_buckets}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionSpec":
+        return PartitionSpec(d["kind"], list(d.get("columns", [])), int(d.get("num_buckets", 0)))
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """A snapshot-versioned table. Construct via :meth:`create` / :meth:`load`."""
+
+    def __init__(self, location: str, meta: dict, version: int):
+        self.location = location
+        self.meta = meta
+        self.version = version
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.location, "metadata")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.location, "data")
+
+    # ------------------------------------------------------------ create/load
+    @staticmethod
+    def create(
+        location: str,
+        schema: StructType,
+        partition_spec: PartitionSpec | None = None,
+        properties: dict | None = None,
+        name: str = "",
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(location, "metadata", "VERSION")):
+            raise FileExistsError(f"table already exists at {location}")
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "name": name or os.path.basename(location.rstrip("/")),
+            "partition_spec": (partition_spec or PartitionSpec.none()).to_json(),
+            "schemas": {"0": json.loads(schema.json())},
+            "current_schema_id": 0,
+            "evolution_log": [],
+            "snapshots": [],
+            "current_snapshot_id": None,
+            "properties": dict(properties or {}),
+        }
+        t = LakeTable(location, meta, 0)
+        with open(os.path.join(t._meta_dir, "v0.metadata.json"), "x") as f:
+            json.dump(meta, f)
+        _atomic_write(os.path.join(t._meta_dir, "VERSION"), "0")
+        return t
+
+    @staticmethod
+    def load(location: str) -> "LakeTable":
+        vfile = os.path.join(location, "metadata", "VERSION")
+        with open(vfile) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(location, "metadata", f"v{version}.metadata.json")) as f:
+            meta = json.load(f)
+        return LakeTable(location, meta, version)
+
+    @staticmethod
+    def exists(location: str) -> bool:
+        return os.path.exists(os.path.join(location, "metadata", "VERSION"))
+
+    @staticmethod
+    def create_or_load(
+        location: str,
+        schema: StructType,
+        partition_spec: PartitionSpec | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        if LakeTable.exists(location):
+            return LakeTable.load(location)
+        return LakeTable.create(location, schema, partition_spec, properties)
+
+    def refresh(self) -> "LakeTable":
+        t = LakeTable.load(self.location)
+        self.meta, self.version = t.meta, t.version
+        return self
+
+    # ------------------------------------------------------------- accessors
+    @property
+    def partition_spec(self) -> PartitionSpec:
+        return PartitionSpec.from_json(self.meta["partition_spec"])
+
+    @property
+    def current_schema_id(self) -> int:
+        return int(self.meta["current_schema_id"])
+
+    def schema(self, schema_id: int | None = None) -> StructType:
+        sid = self.current_schema_id if schema_id is None else schema_id
+        return StructType.fromJson(self.meta["schemas"][str(sid)])
+
+    @property
+    def current_snapshot(self) -> dict | None:
+        sid = self.meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == snapshot_id)
+
+    def current_files(self, snapshot_id: int | None = None) -> list:
+        snap = self.current_snapshot if snapshot_id is None else self.snapshot(snapshot_id)
+        return list(snap["files"]) if snap else []
+
+    def history(self) -> list:
+        return [
+            {k: s[k] for k in ("snapshot_id", "parent_id", "operation", "summary", "schema_id")}
+            for s in self.meta["snapshots"]
+        ]
+
+    @property
+    def properties(self) -> dict:
+        return self.meta["properties"]
+
+    # ------------------------------------------------------------ committing
+    def _try_commit(self, new_meta: dict) -> bool:
+        """Claim the next metadata version; False if a concurrent writer won."""
+        next_v = self.version + 1
+        path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
+        try:
+            with open(path, "x") as f:
+                json.dump(new_meta, f)
+        except FileExistsError:
+            return False
+        _atomic_write(os.path.join(self._meta_dir, "VERSION"), str(next_v))
+        self.meta, self.version = new_meta, next_v
+        return True
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        files: list,
+        summary: dict | None = None,
+        properties_update: dict | None = None,
+        max_retries: int = 20,
+    ) -> dict:
+        """Commit a new snapshot whose live file set is ``files``.
+
+        On a concurrent-commit race, reloads metadata and retries; pure
+        appends always rebase cleanly (the new files are disjoint),
+        overwrites raise :class:`CommitConflict` if the concurrent
+        commit overlaps (detected by file-set divergence).
+        """
+        for _ in range(max_retries):
+            snap_id = (self.meta["current_snapshot_id"] or 0) + 1
+            snap = {
+                "snapshot_id": snap_id,
+                "parent_id": self.meta["current_snapshot_id"],
+                "operation": operation,
+                "schema_id": self.current_schema_id,
+                "timestamp_ms": int(time.time() * 1000),
+                "summary": dict(summary or {}),
+                "files": files,
+            }
+            new_meta = json.loads(json.dumps(self.meta))
+            new_meta["snapshots"].append(snap)
+            new_meta["current_snapshot_id"] = snap_id
+            if properties_update:
+                new_meta["properties"].update(properties_update)
+            if self._try_commit(new_meta):
+                return snap
+            prev_files = {f["path"] for f in self.current_files()}
+            self.refresh()
+            if operation != "append" and {f["path"] for f in self.current_files()} != prev_files:
+                raise CommitConflict(f"concurrent {operation} on {self.location}")
+            if operation == "append":
+                # rebase: keep the concurrent snapshot's files + ours
+                ours = [f for f in files if f["path"] not in prev_files]
+                files = self.current_files() + ours
+        raise CommitConflict(f"gave up after {max_retries} retries on {self.location}")
+
+    # ----------------------------------------------------------- data files
+    def _write_data_files(self, df: DataFrame, tag: str) -> list:
+        """Write df as immutable parquet data files; return file entries.
+
+        Bucketed tables are written ``partitionBy(_bucket)`` after a
+        ``repartition(num_buckets, _bucket)`` so each task writes few
+        buckets (few, large files). Files are moved from a staging dir
+        into ``data/`` and recorded with their bucket + parquet-footer
+        row count — the manifest stats used for pruning.
+        """
+        import pyarrow.parquet as pq
+
+        spec = self.partition_spec
+        staging = os.path.join(self.location, f"_staging-{tag}-{uuid.uuid4().hex[:8]}")
+        try:
+            if spec.kind == "bucket":
+                out = df.withColumn("_bucket", spec.bucket_expr())
+                out = out.repartition(spec.num_buckets, "_bucket")
+                out.write.partitionBy("_bucket").parquet(staging, mode="overwrite")
+                parts = sorted(glob.glob(os.path.join(staging, "_bucket=*", "*.parquet")))
+            else:
+                df.write.parquet(staging, mode="overwrite")
+                parts = sorted(glob.glob(os.path.join(staging, "*.parquet")))
+            entries = []
+            for i, p in enumerate(parts):
+                bucket = None
+                d = os.path.basename(os.path.dirname(p))
+                if d.startswith("_bucket="):
+                    bucket = int(d.split("=", 1)[1])
+                md = pq.ParquetFile(p).metadata
+                if md.num_rows == 0:
+                    continue
+                fname = f"snap-{tag}-{i:05d}" + (f"-b{bucket}" if bucket is not None else "") + ".parquet"
+                dest = os.path.join(self._data_dir, fname)
+                os.replace(p, dest)
+                entries.append(
+                    {
+                        "path": os.path.join("data", fname),
+                        "bucket": bucket,
+                        "schema_id": self.current_schema_id,
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(dest),
+                    }
+                )
+            return entries
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # ------------------------------------------------------------ operations
+    def append(self, df: DataFrame, summary: dict | None = None) -> dict:
+        new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
+        files = self.current_files() + new
+        s = {"added_files": len(new), "added_rows": sum(f["rows"] for f in new)}
+        s.update(summary or {})
+        return self._commit_snapshot("append", files, s)
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: Iterable[int],
+        summary: dict | None = None,
+        properties_update: dict | None = None,
+    ) -> dict:
+        """Copy-on-write: replace all files in ``buckets`` with ``df``.
+
+        Untouched buckets are carried forward by reference — this is
+        the physical form of a bucket-pruned MERGE INTO.
+        """
+        buckets = set(int(b) for b in buckets)
+        new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
+        bad = [f for f in new if f["bucket"] not in buckets and f["bucket"] is not None]
+        if bad:
+            raise ValueError(f"overwrite produced rows outside declared buckets: {bad[:3]}")
+        kept = [f for f in self.current_files() if f["bucket"] not in buckets]
+        s = {
+            "replaced_buckets": sorted(buckets),
+            "added_files": len(new),
+            "added_rows": sum(f["rows"] for f in new),
+        }
+        s.update(summary or {})
+        return self._commit_snapshot("overwrite", kept + new, s, properties_update)
+
+    def overwrite_all(self, df: DataFrame, summary: dict | None = None) -> dict:
+        new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
+        return self._commit_snapshot("overwrite", new, summary)
+
+    def truncate(self) -> dict:
+        return self._commit_snapshot("delete", [], {"truncated": True})
+
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """DELETE FROM t WHERE cond — copy-on-write rewrite of matching buckets.
+
+        Reference parity: deleteRows
+        (/root/reference/src/main/groovy/getl/jdbc/JDBCDriver.groovy:2270-2310).
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        spec = self.partition_spec
+        if spec.kind == "bucket":
+            hit = (
+                self.read(spark, with_bucket_col=True)
+                .filter(cond)
+                .select("_bucket")
+                .distinct()
+                .collect()
+            )
+            buckets = [r[0] for r in hit]
+            if not buckets:
+                return self.current_snapshot
+            keep = self.read(spark, buckets=buckets).filter(~cond)
+            return self.overwrite_buckets(keep, buckets, {"delete_where": str(condition)})
+        keep = self.read(spark).filter(~cond)
+        return self.overwrite_all(keep, {"delete_where": str(condition)})
+
+    def drop(self) -> None:
+        shutil.rmtree(self.location, ignore_errors=True)
+
+    def update_properties(self, props: dict) -> None:
+        new_meta = json.loads(json.dumps(self.meta))
+        new_meta["properties"].update(props)
+        while not self._try_commit(new_meta):
+            self.refresh()
+            new_meta = json.loads(json.dumps(self.meta))
+            new_meta["properties"].update(props)
+
+    # ----------------------------------------------------------------- read
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: Iterable[int] | None = None,
+        snapshot_id: int | None = None,
+        with_bucket_col: bool = False,
+    ) -> DataFrame:
+        """Scan the table at the current (or given) snapshot.
+
+        ``buckets`` prunes to the given partition buckets driver-side —
+        only matching data files enter the scan (manifest pruning).
+        Old-schema files are upgraded to the current schema via
+        per-file-group select (add->null, widen->cast, rename->alias).
+        """
+        from getl_spark.lake.evolution import upgrade_exprs
+
+        snap = self.current_snapshot if snapshot_id is None else self.snapshot(snapshot_id)
+        target_sid = self.current_schema_id if snapshot_id is None else snap["schema_id"]
+        target_schema = self.schema(target_sid)
+        files = list(snap["files"]) if snap else []
+        if buckets is not None:
+            bset = set(int(b) for b in buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            df = spark.createDataFrame([], target_schema)
+            if with_bucket_col:
+                df = df.withColumn("_bucket", F.lit(None).cast("int"))
+            return df
+
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(int(f["schema_id"]), []).append(
+                os.path.join(self.location, f["path"])
+            )
+        parts = []
+        for sid, paths in sorted(by_sid.items()):
+            df = spark.read.schema(self.schema(sid)).parquet(*paths)
+            if sid != target_sid:
+                df = df.select(*upgrade_exprs(self, sid, target_sid))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if with_bucket_col:
+            spec = self.partition_spec
+            if spec.kind == "bucket":
+                out = out.withColumn("_bucket", spec.bucket_expr().cast("int"))
+            else:
+                out = out.withColumn("_bucket", F.lit(0))
+        return out
+
+    def count_rows(self, buckets: Iterable[int] | None = None) -> int:
+        """COUNT(*) from manifest stats — no scan (getl countRow analog,
+        /root/reference/src/main/groovy/getl/jdbc/TableDataset.groovy:219-231)."""
+        files = self.current_files()
+        if buckets is not None:
+            bset = set(int(b) for b in buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        return sum(f["rows"] for f in files)
+
+    # ---------------------------------------------------------------- merge
+    def merge(self, source: DataFrame) -> "MergeBuilder":
+        from getl_spark.lake.merge import MergeBuilder
+
+        return MergeBuilder(self, source)
+
+    # ------------------------------------------------------------ evolution
+    def add_column(self, name: str, dtype: str, nullable: bool = True) -> None:
+        from getl_spark.lake.evolution import apply_evolution
+
+        apply_evolution(self, {"op": "add", "column": name, "type": dtype, "nullable": nullable})
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        from getl_spark.lake.evolution import apply_evolution
+
+        apply_evolution(self, {"op": "widen", "column": name, "type": new_type})
+
+    def rename_column(self, name: str, new_name: str) -> None:
+        from getl_spark.lake.evolution import apply_evolution
+
+        apply_evolution(self, {"op": "rename", "column": name, "new_name": new_name})
+
+    # ------------------------------------------------------------ maintenance
+    def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Rewrite buckets whose live file count is high into one file each.
+
+        Small-file compaction — the binpack rewrite Iceberg's
+        rewrite_data_files performs. Only buckets with >1 file are
+        rewritten.
+        """
+        spec = self.partition_spec
+        if spec.kind != "bucket":
+            return self.overwrite_all(self.read(spark), {"compaction": True})
+        counts: dict[int, int] = {}
+        for f in self.current_files():
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        buckets = [b for b, c in counts.items() if c > 1]
+        if not buckets:
+            return self.current_snapshot
+        df = self.read(spark, buckets=buckets)
+        return self.overwrite_buckets(df, buckets, {"compaction": True})
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshots and delete data files no longer referenced."""
+        snaps = self.meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        keep = snaps[-keep_last:]
+        live = {f["path"] for s in keep for f in s["files"]}
+        dead = {f["path"] for s in snaps for f in s["files"]} - live
+        new_meta = json.loads(json.dumps(self.meta))
+        new_meta["snapshots"] = keep
+        while not self._try_commit(new_meta):
+            self.refresh()
+            new_meta = json.loads(json.dumps(self.meta))
+            new_meta["snapshots"] = new_meta["snapshots"][-keep_last:]
+        for p in dead:
+            try:
+                os.remove(os.path.join(self.location, p))
+            except FileNotFoundError:
+                pass
+        return len(dead)

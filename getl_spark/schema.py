@@ -1,0 +1,149 @@
+"""Schema descriptors: getl ``Field`` reimagined as StructField metadata.
+
+Reference parity: getl's 15-type ``Field`` enum with key/partition
+ordinals (/root/reference/src/main/groovy/getl/data/Field.groovy:41-44,
+137-178) maps to Spark types + a metadata dict; the whitelist of
+implicit conversions (:478-510) lives in lake/evolution.py.
+
+Also provides :func:`parse_ddl`, a session-free DDL-string -> StructType
+parser (pyspark 4's ``_parse_datatype_string`` requires a live session,
+which schema manipulation shouldn't).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_SIMPLE = {
+    "string": StringType(),
+    "text": StringType(),
+    "uuid": StringType(),
+    "int": IntegerType(),
+    "integer": IntegerType(),
+    "bigint": LongType(),
+    "long": LongType(),
+    "smallint": ShortType(),
+    "tinyint": ByteType(),
+    "double": DoubleType(),
+    "float": FloatType(),
+    "boolean": BooleanType(),
+    "bool": BooleanType(),
+    "date": DateType(),
+    "timestamp": TimestampType(),
+    "datetime": TimestampType(),
+    "binary": BinaryType(),
+    "blob": BinaryType(),
+}
+
+
+def parse_type(s: str) -> DataType:
+    s = s.strip().lower()
+    if s in _SIMPLE:
+        return _SIMPLE[s]
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"(?:varchar|char|string)\s*\(\s*\d+\s*\)", s)
+    if m:
+        return StringType()
+    m = re.fullmatch(r"array\s*<(.+)>", s)
+    if m:
+        return ArrayType(parse_type(m.group(1)))
+    m = re.fullmatch(r"map\s*<(.+),(.+)>", s)
+    if m:
+        return MapType(parse_type(m.group(1)), parse_type(m.group(2)))
+    raise ValueError(f"cannot parse type: {s!r}")
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def parse_ddl(ddl: str) -> StructType:
+    """Parse ``"a string, b bigint, c decimal(12,2)"`` without a session."""
+    fields = []
+    for part in _split_top(ddl):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, typ = part.partition(" ")
+        not_null = False
+        tl = typ.strip()
+        if tl.lower().endswith(" not null"):
+            not_null = True
+            tl = tl[: -len(" not null")]
+        fields.append(StructField(name.strip().strip("`"), parse_type(tl), not not_null))
+    return StructType(fields)
+
+
+def field(
+    name: str,
+    dtype: str,
+    nullable: bool = True,
+    is_key: bool = False,
+    ord_key: int | None = None,
+    is_partition: bool = False,
+    ord_partition: int | None = None,
+) -> StructField:
+    """getl Field -> StructField with key/partition ordinals in metadata."""
+    md = {}
+    if is_key:
+        md["isKey"] = True
+        md["ordKey"] = ord_key if ord_key is not None else 0
+    if is_partition:
+        md["isPartition"] = True
+        md["ordPartition"] = ord_partition if ord_partition is not None else 0
+    return StructField(name, parse_type(dtype), nullable, metadata=md)
+
+
+def key_columns(schema: StructType) -> list[str]:
+    """Ordered composite key from metadata (getl getFieldListKeys,
+    /root/reference/src/main/groovy/getl/data/Dataset.groovy:806-815)."""
+    keys = [
+        (f.metadata.get("ordKey", 0), f.name)
+        for f in schema.fields
+        if f.metadata.get("isKey")
+    ]
+    return [n for _, n in sorted(keys)]
+
+
+def partition_columns(schema: StructType) -> list[str]:
+    parts = [
+        (f.metadata.get("ordPartition", 0), f.name)
+        for f in schema.fields
+        if f.metadata.get("isPartition")
+    ]
+    return [n for _, n in sorted(parts)]

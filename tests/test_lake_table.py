@@ -1,0 +1,230 @@
+"""Lake-format tests: create/append/read, bucket pruning, merge,
+schema evolution, time travel, idempotent epoch commits."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from getl_spark.schema import parse_ddl
+
+from getl_spark.lake import LakeCatalog, LakeTable, PartitionSpec
+
+SCHEMA = parse_ddl(
+    "repo string, path string, commit string, lang string, content string, _seq bigint"
+)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows], SCHEMA)
+
+
+def row(repo, path, seq, content=None, commit=None, lang="py"):
+    return dict(
+        repo=repo,
+        path=path,
+        commit=commit or f"c{seq:08d}" + "0" * 32,
+        lang=lang,
+        content=content or f"content of {repo}/{path} at {seq}",
+        _seq=seq,
+    )
+
+
+@pytest.fixture()
+def table(tmp_warehouse):
+    cat = LakeCatalog(tmp_warehouse)
+    return cat.create_table("target", SCHEMA, PartitionSpec.bucket(8, "repo"))
+
+
+def test_create_load_roundtrip(tmp_warehouse):
+    cat = LakeCatalog(tmp_warehouse)
+    t = cat.create_table("t1", SCHEMA, PartitionSpec.bucket(4, "repo"))
+    t2 = cat.load_table("t1")
+    assert t2.schema() == SCHEMA
+    assert t2.partition_spec.num_buckets == 4
+    assert cat.list_tables() == ["t1"]
+    assert t.current_snapshot is None
+    cat.drop_table("t1")
+    assert not cat.table_exists("t1")
+
+
+def test_append_read_and_manifest_counts(spark, table):
+    df = mk(spark, [row("a/r1", "f1.py", 1), row("a/r1", "f2.py", 2), row("b/r2", "g.py", 3)])
+    snap = table.append(df)
+    assert snap["summary"]["added_rows"] == 3
+    got = table.read(spark).orderBy("_seq").collect()
+    assert [r.path for r in got] == ["f1.py", "f2.py", "g.py"]
+    assert table.count_rows() == 3  # manifest stats, no scan
+
+
+def test_bucket_pruning_reads_only_touched_files(spark, table):
+    repos = [f"org{i}/proj{i}" for i in range(10)]
+    df = mk(spark, [row(r, "f.py", i + 1) for i, r in enumerate(repos)])
+    table.append(df)
+    buckets = {
+        r["repo"]: r["b"]
+        for r in spark.createDataFrame([(x,) for x in repos], "repo string")
+        .select("repo", F.pmod(F.xxhash64(F.col("repo")), F.lit(8)).alias("b"))
+        .collect()
+    }
+    target_b = buckets[repos[0]]
+    expected = {r for r, b in buckets.items() if b == target_b}
+    assert expected != set(repos), "10 repos over 8 buckets should not all collide"
+    got = {r.repo for r in table.read(spark, buckets=[target_b]).collect()}
+    assert got == expected
+    # pruning happened at the manifest level: fewer files in the scan
+    files_all = {f["path"] for f in table.current_files()}
+    files_b = {f["path"] for f in table.current_files() if f["bucket"] == target_b}
+    assert files_b < files_all
+
+
+def test_merge_upsert_insert_update_delete(spark, table):
+    table.append(mk(spark, [row("a/r1", "f1.py", 1), row("a/r1", "f2.py", 2)]))
+    src = mk(
+        spark,
+        [
+            row("a/r1", "f1.py", 10, content="v2"),  # update
+            row("a/r1", "f3.py", 11),  # insert
+            row("a/r1", "f2.py", 12),  # delete (op D below)
+        ],
+    ).withColumn("op", F.when(F.col("path") == "f2.py", F.lit("D")).otherwise(F.lit("U")))
+    res = (
+        table.merge(src)
+        .on(["repo", "path"])
+        .when_matched_delete("s.op = 'D'")
+        .when_matched_update()
+        .when_not_matched_insert("s.op <> 'D'")
+        .execute(spark)
+    )
+    assert res["stats"] == {"deleted": 1, "updated": 1, "inserted": 1}
+    got = {r.path: r for r in table.read(spark).collect()}
+    assert set(got) == {"f1.py", "f3.py"}
+    assert got["f1.py"].content == "v2"
+    assert got["f1.py"]._seq == 10
+
+
+def test_merge_delete_on_missing_key_is_noop(spark, table):
+    table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    src = mk(spark, [row("a/r1", "ghost.py", 5)]).withColumn("op", F.lit("D"))
+    res = (
+        table.merge(src)
+        .on(["repo", "path"])
+        .when_matched_delete("s.op = 'D'")
+        .when_matched_update()
+        .when_not_matched_insert("s.op <> 'D'")
+        .execute(spark)
+    )
+    assert res["stats"] == {"deleted": 0, "updated": 0, "inserted": 0}
+    assert table.count_rows() == 1
+
+
+def _two_repos_in_different_buckets(spark, num_buckets=8):
+    cands = [f"org{i}/proj{i}" for i in range(16)]
+    rows = (
+        spark.createDataFrame([(x,) for x in cands], "repo string")
+        .select("repo", F.pmod(F.xxhash64(F.col("repo")), F.lit(num_buckets)).alias("b"))
+        .collect()
+    )
+    r0, b0 = rows[0].repo, rows[0].b
+    other = next(r for r in rows if r.b != b0)
+    return (r0, b0), (other.repo, other.b)
+
+
+def test_merge_untouched_buckets_carried_forward(spark, table):
+    (repo_a, b_a), (repo_b, b_b) = _two_repos_in_different_buckets(spark)
+    table.append(mk(spark, [row(repo_a, "f1.py", 1), row(repo_b, "g.py", 2)]))
+    untouched_before = {f["path"] for f in table.current_files() if f["bucket"] == b_b}
+    src = mk(spark, [row(repo_a, "f1.py", 9, content="v9")]).withColumn("op", F.lit("U"))
+    res = (
+        table.merge(src)
+        .on(["repo", "path"])
+        .when_matched_update()
+        .when_not_matched_insert()
+        .execute(spark)
+    )
+    assert res["touched_buckets"] == [b_a]
+    untouched_after = {f["path"] for f in table.current_files() if f["bucket"] == b_b}
+    assert untouched_before == untouched_after, "untouched bucket rewritten"
+    got = {r.repo: r.content for r in table.read(spark).collect()}
+    assert got[repo_a] == "v9"
+    assert got[repo_b].startswith(f"content of {repo_b}")
+
+
+def test_idempotent_epoch_commit(spark, table):
+    src = mk(spark, [row("a/r1", "f1.py", 1)]).withColumn("op", F.lit("I"))
+
+    def apply():
+        return (
+            table.merge(src)
+            .on(["repo", "path"])
+            .when_matched_delete("s.op = 'D'")
+            .when_matched_update()
+            .when_not_matched_insert("s.op <> 'D'")
+            .idempotency("tail", 7)
+            .execute(spark)
+        )
+
+    r1 = apply()
+    assert not r1["skipped"]
+    v = table.version
+    r2 = apply()  # re-apply same epoch -> no-op, no new snapshot
+    assert r2["skipped"]
+    assert table.version == v
+    assert table.count_rows() == 1
+    assert table.properties["watermark.tail"] == "7"
+
+
+def test_time_travel_and_history(spark, table):
+    table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    s1 = table.current_snapshot["snapshot_id"]
+    table.append(mk(spark, [row("a/r1", "f2.py", 2)]))
+    assert table.read(spark).count() == 2
+    assert table.read(spark, snapshot_id=s1).count() == 1
+    assert [h["operation"] for h in table.history()] == ["append", "append"]
+
+
+def test_schema_evolution_add_widen_rename(spark, table):
+    table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    table.add_column("stars", "int")
+    table.widen_column("stars", "bigint")
+    table.rename_column("lang", "language")
+    got = table.read(spark).collect()[0]
+    assert got.stars is None
+    assert got.language == "py"
+    # new-schema write + old file coexist
+    new_schema = table.schema()
+    assert "language" in new_schema.fieldNames() and "stars" in new_schema.fieldNames()
+    df2 = spark.createDataFrame(
+        [("b/r2", "g.py", "c" * 40, "java", "x", 2, 5)], new_schema
+    )
+    table.append(df2)
+    rows = {r.repo: r for r in table.read(spark).collect()}
+    assert rows["b/r2"].stars == 5 and rows["a/r1"].stars is None
+    assert rows["a/r1"].language == "py"
+
+
+def test_illegal_widen_rejected(table):
+    with pytest.raises(ValueError):
+        table.widen_column("_seq", "int")  # narrowing
+
+
+def test_delete_where_and_truncate(spark, table):
+    table.append(mk(spark, [row("a/r1", "f1.py", 1), row("b/r2", "g.py", 2)]))
+    table.delete_where(spark, "repo = 'a/r1'")
+    assert [r.repo for r in table.read(spark).collect()] == ["b/r2"]
+    table.truncate()
+    assert table.read(spark).count() == 0 and table.count_rows() == 0
+
+
+def test_compact_and_expire(spark, table):
+    for i in range(3):
+        table.append(mk(spark, [row("a/r1", f"f{i}.py", i + 1)]))
+    n_files_before = len(table.current_files())
+    table.compact(spark)
+    assert len(table.current_files()) < n_files_before
+    removed = table.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert table.read(spark).count() == 3
+    # all remaining manifest files exist on disk
+    for f in table.current_files():
+        assert os.path.exists(os.path.join(table.location, f["path"]))
