@@ -1,0 +1,166 @@
+"""Deterministic change-event synthesis — fully distributed, JVM-side.
+
+Generates the binlog/WAL-style event log of FIXTURES.md §2 over the
+input-hint schema ``(repo, path, commit, lang, content)`` + ``(seq,
+op, event_ts)`` using only Catalyst expressions over ``spark.range`` —
+no driver-side loops, no Python UDFs — so bench-scale logs (10^7+)
+generate at cluster speed and the generator itself scales to 10^10.
+
+Reference parity: getl's randomized row generator ``GenerateRandomRow``
+(/root/reference/src/main/groovy/getl/utils/GenerationUtils.groovy:759+)
+used by DslTest to fill tables; here generation is seeded + replayable
+(no wall clock, xxhash64-derived) so the pandas oracle can re-reduce
+the same log.
+
+Guarantees (FIXTURES.md §2):
+- ``seq`` globally monotonic + unique (= range id + 1)
+- first event for a key is I; after a D the next event for the key is
+  forced I (re-insert); otherwise U/D draws — so U/D only ever follow
+  a live key
+- ~dup_rate duplicate delivery: an event re-emits its key's previous
+  event (same op/commit/content, higher seq) — idempotent under LWW
+- zipf-ish skew: low key ids (=> a few hot repos) absorb most events
+- ``content`` is a pure function of (repo, path, commit) so state can
+  be re-derived and sha256-checked
+- ``event_ts`` derived from seq (no Date.now)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA_DDL = (
+    "seq bigint, op string, repo string, path string, commit string, "
+    "lang string, content string, event_ts timestamp"
+)
+
+_EXTS = ["py", "java", "groovy", "sql", "md", "ts"]
+_LANGS = {"py": "py", "java": "java", "groovy": "groovy", "sql": "sql", "md": "md", "ts": "ts"}
+_TS_BASE = 1700000000  # fixed epoch base; event_ts = base + seq seconds
+
+
+def _hash_u(col, salt: int, mod: int):
+    """Deterministic pseudo-uniform integer in [0, mod)."""
+    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(mod))
+
+
+def commit_expr(repo, path, seq):
+    """Deterministic 40-hex commit id from (repo, path, seq)."""
+    h = [F.lower(F.lpad(F.hex(F.xxhash64(repo, path, seq, F.lit(i))), 16, "0")) for i in range(3)]
+    return F.substring(F.concat(*h), 1, 40)
+
+
+def content_expr(repo, path, commit, min_len: int = 64, max_len: int = 2048):
+    """Deterministic pseudo-source text, pure function of (repo,path,commit)."""
+    length = F.lit(min_len) + _hash_u(commit, 7, max_len - min_len)
+    chunk = F.concat(F.lower(F.hex(F.xxhash64(commit, F.lit(8)))), F.lit(" "))
+    header = F.concat(F.lit("// "), repo, F.lit("/"), path, F.lit(" @ "), commit, F.lit("\n"))
+    body = F.substring(F.repeat(chunk, (length / 17 + 1).cast("int")), 1, length.cast("int"))
+    return F.concat(header, body)
+
+
+def generate_change_events(
+    spark: SparkSession,
+    n_events: int,
+    n_keys: int | None = None,
+    n_repos: int | None = None,
+    seed: int = 42,
+    dup_rate: float = 0.05,
+    delete_rate: float = 0.10,
+    skew: float = 2.0,
+    content_min: int = 64,
+    content_max: int = 2048,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthesize ``n_events`` change events. One shuffle (by key) total.
+
+    The per-key op state machine needs events of a key ordered by seq;
+    both window passes share one ``partitionBy(key) orderBy(seq)``
+    spec, so Catalyst plans a single exchange + sort.
+    """
+    n_keys = n_keys or max(n_events // 20, 10)
+    n_repos = n_repos or max(n_keys // 50, 4)
+    keys_per_repo = (n_keys + n_repos - 1) // n_repos
+
+    rng = spark.range(0, n_events, numPartitions=partitions)
+    seq = F.col("id") + 1
+
+    # zipf-ish key skew: u^skew concentrates mass near key 0
+    u = _hash_u(seq, seed, 1_000_000) / 1_000_000.0
+    key_id = F.least(
+        F.floor(F.lit(n_keys) * F.pow(u, F.lit(skew))).cast("long"), F.lit(n_keys - 1)
+    )
+    repo_id = (key_id / keys_per_repo).cast("long")
+    path_id = key_id % keys_per_repo
+    ext = F.element_at(F.array(*[F.lit(e) for e in _EXTS]), (_hash_u(key_id, seed + 9, len(_EXTS)) + 1).cast("int"))
+
+    df = rng.select(
+        seq.alias("seq"),
+        key_id.alias("_key"),
+        F.concat(F.lit("org"), F.pmod(repo_id, F.lit(97)), F.lit("/proj"), repo_id).alias("repo"),
+        F.concat(
+            F.lit("src/dir"), F.pmod(path_id, F.lit(16)), F.lit("/file"), path_id, F.lit("."), ext
+        ).alias("path"),
+        ext.alias("lang"),
+        (_hash_u(seq, seed + 1, 100) < int(delete_rate * 100)).alias("_draw_d"),
+        (_hash_u(seq, seed + 2, 100) < int(dup_rate * 100)).alias("_dup"),
+    )
+
+    w = Window.partitionBy("_key").orderBy("seq")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    df = df.withColumn("_i", F.row_number().over(w))
+    # the op state machine runs over the NON-dup subsequence of each key,
+    # so a duplicated D can't derail the alive/dead tracking: forced
+    # re-insert looks at the last real event's draw, skipping dups.
+    is_dup = F.col("_dup") & (F.col("_i") > 1)
+    df = df.withColumn("_is_dup", is_dup)
+    nondup = ~F.col("_is_dup")
+    df = df.withColumn(
+        "_prev_real_draw_d",
+        F.last(F.when(nondup, F.col("_draw_d")), ignorenulls=True).over(w_prev),
+    )
+    op_base = (
+        F.when(
+            (F.col("_i") == 1) | F.coalesce(F.col("_prev_real_draw_d"), F.lit(False)),
+            F.lit("I"),
+        )
+        .when(F.col("_draw_d"), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    df = df.withColumn("_op_base", op_base).withColumn(
+        "_commit_base", commit_expr(F.col("repo"), F.col("path"), F.col("seq"))
+    )
+    # duplicate delivery: re-emit the key's last real event (op+commit)
+    # at a new, higher seq — idempotent under LWW by construction.
+    df = df.withColumn(
+        "_prev_real_op", F.last(F.when(nondup, F.col("_op_base")), ignorenulls=True).over(w_prev)
+    ).withColumn(
+        "_prev_real_commit",
+        F.last(F.when(nondup, F.col("_commit_base")), ignorenulls=True).over(w_prev),
+    )
+    df = df.withColumn(
+        "op", F.when(F.col("_is_dup"), F.col("_prev_real_op")).otherwise(F.col("_op_base"))
+    )
+    df = df.withColumn(
+        "commit",
+        F.when(F.col("_is_dup"), F.col("_prev_real_commit")).otherwise(F.col("_commit_base")),
+    )
+    df = df.withColumn(
+        "content",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(
+            content_expr(F.col("repo"), F.col("path"), F.col("commit"), content_min, content_max)
+        ),
+    ).withColumn("event_ts", F.timestamp_seconds(F.lit(_TS_BASE) + F.col("seq")))
+    return df.select("seq", "op", "repo", "path", "commit", "lang", "content", "event_ts")
+
+
+def write_event_log(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Persist the event log as parquet, ordered ranges per file so
+    seq-range (epoch) scans prune via parquet min/max stats."""
+    out = df.repartitionByRange(partitions, "seq") if partitions else df.sortWithinPartitions("seq")
+    out.write.mode("overwrite").parquet(path)
+
+
+def read_event_log(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -286,7 +286,14 @@ class LakeTable:
         try:
             if spec.kind == "bucket":
                 out = df.withColumn("_bucket", spec.bucket_expr())
-                out = out.repartition(spec.num_buckets, "_bucket")
+                # skew salting: a hot bucket (zipf repo) fans out over
+                # `write.salt` tasks instead of serializing on one.
+                salt = int(self.properties.get("write.salt", "1"))
+                if salt > 1:
+                    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+                    out = out.repartition(spec.num_buckets * salt, F.col("_bucket"), salt_col)
+                else:
+                    out = out.repartition(spec.num_buckets, "_bucket")
                 out.write.partitionBy("_bucket").parquet(staging, mode="overwrite")
                 parts = sorted(glob.glob(os.path.join(staging, "_bucket=*", "*.parquet")))
             else:

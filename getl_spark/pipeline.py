@@ -1,0 +1,202 @@
+"""CDCPipeline — the change-event tailer (getl Flow.copy reimagined).
+
+Reference parity: one epoch here is one getl ``Flow.copy`` run
+(/root/reference/src/main/groovy/getl/proc/Flow.groovy:294-672) whose
+column-map codegen, prepared-statement batches, and transaction
+orchestration collapse into a single declarative Spark job:
+
+    read epoch slice  (seq-range pushdown — getl ReadSpec.where,
+                       jdbc/opts/ReadSpec.groovy:73)
+    -> LWW dedup      (window rank)
+    -> schema evolve  (transactional DDL at its seq position)
+    -> MERGE INTO     (salted, bucket-pruned copy-on-write)
+    -> lineage rows   (per-bucket offset range / count / bytes / latency)
+    -> checkpoint     (watermark save, monotonic guard)
+
+Exactly-once: the MERGE stamps ``watermark.<pipeline>`` in the same
+atomic snapshot commit; re-running an epoch is a no-op at the data
+layer, and lineage/checkpoint rewrites are idempotent per epoch —
+so crash anywhere and replay from the checkpoint converges
+(CopyTest 81->0 pattern,
+/root/reference/src/test/groovy/getl/lang/CopyTest.groovy:156-176).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from getl_spark.checkpoint import CheckpointManager
+from getl_spark.dedup import lww_dedup
+from getl_spark.lake import LakeCatalog, LakeTable, PartitionSpec
+from getl_spark.lineage import LineageRecorder
+from getl_spark.schema import parse_ddl
+
+TARGET_SCHEMA_DDL = (
+    "repo string, path string, commit string, lang string, content string, "
+    "_seq bigint, _epoch bigint"
+)
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    applied: bool
+    stats: dict = field(default_factory=dict)
+    events: int = 0
+    max_seq: int | None = None
+    latency_ms: int = 0
+
+
+class CDCPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        name: str = "tail",
+        num_buckets: int = 16,
+        keys: tuple = ("repo", "path"),
+        checkpoint_method: str = "INSERT",
+        write_salt: int = 1,
+        target_table: str = "target",
+    ):
+        self.spark = spark
+        self.name = name
+        self.keys = list(keys)
+        self.catalog = LakeCatalog(warehouse)
+        self.target: LakeTable = self.catalog.create_table(
+            target_table,
+            parse_ddl(TARGET_SCHEMA_DDL),
+            PartitionSpec.bucket(num_buckets, "repo"),
+            properties={"write.salt": str(write_salt)},
+            if_not_exists=True,
+        )
+        self.checkpoints = CheckpointManager(self.catalog, method=checkpoint_method)
+        self.lineage = LineageRecorder(self.catalog)
+
+    # ------------------------------------------------------------ one epoch
+    def apply_epoch(self, events: DataFrame, epoch: int, schema_changes: list | None = None) -> EpochResult:
+        """Apply one micro-batch. ``events`` must be exactly the epoch's
+        slice of the log (any op mix, duplicates fine)."""
+        t0 = time.monotonic()
+        events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for change in schema_changes or []:
+                self._apply_schema_change(change)
+
+            winners = lww_dedup(events, self.keys, "seq", "commit")
+            src = winners.withColumn("_epoch", F.lit(int(epoch)).cast("bigint")).withColumnRenamed(
+                "seq", "_seq"
+            )
+            src = self._align_source_columns(src)
+            res = (
+                self.target.merge(src)
+                .on(self.keys)
+                .when_matched_delete("s.op = 'D'")
+                .when_matched_update()
+                .when_not_matched_insert("s.op <> 'D'")
+                .idempotency(self.name, epoch)
+                .with_summary({"engine": "getl_spark"})
+                .execute(self.spark)
+            )
+            latency_ms = int((time.monotonic() - t0) * 1000)
+
+            spec = self.target.partition_spec
+            bucket_expr = spec.bucket_expr() if spec.kind == "bucket" else F.lit(0)
+            self.lineage.record(self.spark, events, epoch, bucket_expr, latency_ms)
+            lin = (
+                self.lineage.table.read(self.spark)
+                .filter(f"epoch = {int(epoch)}")
+                .agg(
+                    F.sum("event_count").alias("n"), F.max("seq_max").alias("mx")
+                )
+                .collect()[0]
+            )
+            n_events, max_seq = int(lin["n"] or 0), lin["mx"]
+            if max_seq is not None:
+                self.checkpoints.save(self.spark, self.name, epoch, int(max_seq))
+            return EpochResult(
+                epoch=epoch,
+                applied=not res.get("skipped", False),
+                stats=res.get("stats", {}),
+                events=n_events,
+                max_seq=max_seq,
+                latency_ms=latency_ms,
+            )
+        finally:
+            events.unpersist()
+
+    def _align_source_columns(self, src: DataFrame) -> DataFrame:
+        """Map incoming event columns through the target's rename
+        history: sources that still emit the pre-rename name (SURVEY
+        §7.4 risk 4) keep applying cleanly after the DDL lands."""
+        target_cols = set(self.target.schema().fieldNames())
+        for entry in self.target.meta["evolution_log"]:
+            if entry["op"] != "rename":
+                continue
+            old, new = entry["column"], entry["new_name"]
+            if old in src.columns and new not in src.columns and new in target_cols:
+                src = src.withColumnRenamed(old, new)
+        return src
+
+    def _apply_schema_change(self, change: dict) -> None:
+        """Transactional DDL (FIXTURES.md §3 shape)."""
+        kind = change["change"]
+        if kind == "add_column":
+            if change["column_name"] not in self.target.schema().fieldNames():
+                self.target.add_column(change["column_name"], change["new_type"])
+        elif kind == "widen_column":
+            self.target.widen_column(change["column_name"], change["new_type"])
+        elif kind == "rename_column":
+            if change["new_name"] not in self.target.schema().fieldNames():
+                self.target.rename_column(change["column_name"], change["new_name"])
+        else:
+            raise ValueError(f"unknown schema change {kind}")
+
+    # ------------------------------------------------------------- replay
+    def replay(
+        self,
+        events: DataFrame,
+        epoch_size: int,
+        max_seq: int | None = None,
+        schema_changes: list | None = None,
+        stop_after_epoch: int | None = None,
+    ) -> list[EpochResult]:
+        """Batch-incremental replay: chunk the log into seq-range epochs,
+        resume after the checkpointed watermark.
+
+        epoch e covers seq in (e*epoch_size, (e+1)*epoch_size]. The
+        seq-range filter pushes down to parquet min/max stats, so a
+        resume never rescans committed ranges.
+        """
+        if max_seq is None:
+            max_seq = events.agg(F.max("seq")).collect()[0][0] or 0
+        n_epochs = (max_seq + epoch_size - 1) // epoch_size
+        last = self.checkpoints.last(self.spark, self.name)
+        start = (last.epoch + 1) if last is not None else 0
+        results: list[EpochResult] = []
+        for e in range(start, n_epochs):
+            lo, hi = e * epoch_size, (e + 1) * epoch_size
+            sl = events.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
+            changes = [
+                c for c in (schema_changes or []) if lo < c["seq"] <= hi
+            ]
+            results.append(self.apply_epoch(sl, e, changes))
+            if stop_after_epoch is not None and e >= stop_after_epoch:
+                break
+        return results
+
+    # ------------------------------------------------------------ reading
+    def state(self) -> DataFrame:
+        self.target.refresh()
+        return self.target.read(self.spark)
+
+    def state_sha256(self) -> DataFrame:
+        """Per-row invariant view: (repo, path, sha2(content, 256))."""
+        return self.state().select(
+            "repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256")
+        )

@@ -1,0 +1,126 @@
+"""End-to-end CDC replay: engine final state vs pandas oracle
+(per-row sha256 invariant), exactly-once re-run, crash resume,
+lineage + checkpoint bookkeeping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from getl_spark.events import generate_change_events
+from getl_spark.oracle import assert_final_state_matches, reduce_events
+from getl_spark.pipeline import CDCPipeline
+
+N_EVENTS = 4000
+EPOCH = 1000
+
+
+@pytest.fixture(scope="module")
+def event_df(spark):
+    df = generate_change_events(spark, N_EVENTS, n_keys=250, n_repos=8, seed=7)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_final(event_df):
+    return reduce_events(event_df.toPandas())
+
+
+def engine_state_pdf(pipe):
+    return pipe.state().drop("_epoch").toPandas()
+
+
+def test_full_replay_matches_oracle(spark, tmp_warehouse, event_df, oracle_final):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, write_salt=2)
+    results = pipe.replay(event_df, EPOCH)
+    assert len(results) == N_EVENTS // EPOCH
+    assert all(r.applied for r in results)
+    assert sum(r.events for r in results) == N_EVENTS
+    assert_final_state_matches(engine_state_pdf(pipe), oracle_final)
+
+
+def test_rerun_is_exactly_once(spark, tmp_warehouse, event_df, oracle_final):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    pipe.replay(event_df, EPOCH)
+    v_before = pipe.target.version
+    snaps_before = len(pipe.target.meta["snapshots"])
+    results2 = pipe.replay(event_df, EPOCH)  # CopyTest 81->0 analog
+    assert results2 == []
+    pipe.target.refresh()
+    assert pipe.target.version == v_before
+    assert len(pipe.target.meta["snapshots"]) == snaps_before
+    assert_final_state_matches(engine_state_pdf(pipe), oracle_final)
+
+
+def test_crash_resume_from_checkpoint(spark, tmp_warehouse, event_df, oracle_final):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    partial = pipe.replay(event_df, EPOCH, stop_after_epoch=1)  # "crash" after epoch 1
+    assert [r.epoch for r in partial] == [0, 1]
+    # fresh process: new pipeline object over the same warehouse
+    pipe2 = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    resumed = pipe2.replay(event_df, EPOCH)
+    assert [r.epoch for r in resumed] == [2, 3], "committed epochs must be skipped"
+    assert_final_state_matches(engine_state_pdf(pipe2), oracle_final)
+
+
+def test_stale_epoch_application_is_noop(spark, tmp_warehouse, event_df, oracle_final):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    pipe.replay(event_df, EPOCH)
+    # re-apply epoch 0's slice directly (out-of-band duplicate delivery)
+    sl = event_df.filter("seq <= 1000")
+    res = pipe.apply_epoch(sl, 0)
+    assert not res.applied
+    assert_final_state_matches(engine_state_pdf(pipe), oracle_final)
+
+
+def test_lineage_rows(spark, tmp_warehouse, event_df):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    pipe.replay(event_df, EPOCH)
+    lin = pipe.lineage.read(spark)
+    pdf = lin.toPandas()
+    assert set(pdf["epoch"]) == {0, 1, 2, 3}
+    assert pdf["event_count"].sum() == N_EVENTS
+    # offset ranges partition the log
+    for e in range(4):
+        sub = pdf[pdf["epoch"] == e]
+        assert sub["seq_min"].min() > e * EPOCH
+        assert sub["seq_max"].max() <= (e + 1) * EPOCH
+    assert (pdf["bytes"] > 0).any()
+    assert (pdf["apply_latency_ms"] >= 0).all()
+
+
+def test_checkpoint_history_and_monotonic_guard(spark, tmp_warehouse, event_df):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    pipe.replay(event_df, EPOCH)
+    last = pipe.checkpoints.last(spark, "tail")
+    assert last.epoch == 3 and last.max_seq == N_EVENTS
+    # stale save refused (SavePointManager value < new guard)
+    assert pipe.checkpoints.save(spark, "tail", 2, 999) is False
+    assert pipe.checkpoints.last(spark, "tail").epoch == 3
+    # INSERT method keeps full history
+    hist = pipe.checkpoints.history(spark, "tail").toPandas()
+    assert sorted(hist["epoch"]) == [0, 1, 2, 3]
+
+
+def test_mid_stream_schema_evolution(spark, tmp_warehouse, event_df, oracle_final):
+    changes = [
+        {"seq": 1500, "change": "add_column", "column_name": "stars", "new_type": "int"},
+        {"seq": 2500, "change": "widen_column", "column_name": "stars", "new_type": "bigint"},
+        {"seq": 3500, "change": "rename_column", "column_name": "lang", "new_name": "language"},
+    ]
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    pipe.replay(event_df, EPOCH, schema_changes=changes)
+    cols = pipe.target.schema().fieldNames()
+    assert "stars" in cols and "language" in cols and "lang" not in cols
+    state = pipe.state()
+    assert dict(state.dtypes)["stars"] == "bigint"
+    # content invariant still holds on the evolved schema
+    pdf = state.drop("_epoch", "stars").withColumnRenamed("language", "lang").toPandas()
+    assert_final_state_matches(pdf, oracle_final)
+
+
+def test_merge_mode_checkpoints(spark, tmp_warehouse, event_df):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, checkpoint_method="MERGE")
+    pipe.replay(event_df, EPOCH)
+    hist = pipe.checkpoints.history(spark, "tail").toPandas()
+    assert len(hist) == 1  # single-row upsert mode
+    assert hist["epoch"].iloc[0] == 3
