@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: a full CDC replay of a synthetic
+  change-event log through the engine (LWW dedup -> salted bucket-
+  pruned MERGE -> lineage -> checkpoint) returning the final target
+  state.
+- ``queries()`` / ``oracle_sql()`` — the SURVEY §2 operator inventory,
+  implemented in getl_spark.queries with DuckDB oracles (checked
+  locally via scripts/check_oracles.py).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from getl_spark.events import generate_change_events
+from getl_spark.pipeline import CDCPipeline
+from getl_spark.queries import all_oracles, all_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay a 20k-event synthetic change log end-to-end
+    through the CDC engine; return the final target table state."""
+    events = generate_change_events(spark, 20_000, n_keys=1_500, n_repos=40, seed=42)
+    warehouse = tempfile.mkdtemp(prefix="getl_entry_wh_")
+    pipe = CDCPipeline(spark, warehouse, num_buckets=16, write_salt=2)
+    pipe.replay(events, epoch_size=5_000)
+    return pipe.state()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracles()

@@ -1,0 +1,114 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Phases:
+1. synthesize a change-event log (distributed, JVM-side exprs) and
+   write it to parquet — `gen`;
+2. replay it end-to-end through the CDC engine (LWW dedup -> salted
+   bucket-pruned MERGE -> lineage -> checkpoint): `replay`, reported
+   also as `events_per_sec` — the BASELINE.json headline metric;
+3. time the headline analytical queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         (default 32)
+  SPARK_GRAFT_BENCH_EVENTS (default 2_000_000)
+  SPARK_GRAFT_BENCH_EPOCHS (default 4)
+
+Scaling evidence (N vs 4N cores) is produced by
+scripts/scaling_bench.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from getl_spark.events import generate_change_events, read_event_log, write_event_log
+from getl_spark.pipeline import CDCPipeline
+from getl_spark.queries import all_queries
+from getl_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "shipping_priority",
+    "segment_revenue",
+    "cdc_lww_latest",
+    "cdc_final_state",
+    "story_anti_join",
+    "window_running",
+    "fingerprint",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simsearch_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark("getl-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="getl_bench_")
+    timings: dict[str, float] = {}
+    try:
+        # -- phase 1: event-log synthesis -> parquet
+        t0 = time.monotonic()
+        ev = generate_change_events(
+            spark, n_events, n_keys=max(n_events // 20, 1000), n_repos=max(n_events // 1000, 8),
+            seed=42, partitions=cpus * 2,
+        )
+        log_path = os.path.join(tmp, "event_log")
+        write_event_log(ev, log_path)
+        timings["gen"] = time.monotonic() - t0
+
+        # -- phase 2: CDC replay (the headline)
+        t0 = time.monotonic()
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "wh"), num_buckets=32, write_salt=2
+        )
+        results = pipe.replay(
+            read_event_log(spark, log_path), epoch_size=(n_events + n_epochs - 1) // n_epochs
+        )
+        replay_sec = time.monotonic() - t0
+        applied = sum(r.events for r in results)
+        timings["replay"] = replay_sec
+        events_per_sec = applied / replay_sec if replay_sec > 0 else 0.0
+        final_rows = pipe.target.count_rows()
+
+        # -- phase 3: analytical queries at sf_dir
+        qs = all_queries()
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            timings[name] = time.monotonic() - t0
+
+        out = {
+            "metric": "cdc_replay_plus_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "events": applied,
+            "events_per_sec": round(events_per_sec, 1),
+            "final_rows": final_rows,
+            "cpus": cpus,
+            "epochs": len(results),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

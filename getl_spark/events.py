@@ -156,9 +156,15 @@ def generate_change_events(
 
 
 def write_event_log(df: DataFrame, path: str, partitions: int | None = None) -> None:
-    """Persist the event log as parquet, ordered ranges per file so
-    seq-range (epoch) scans prune via parquet min/max stats."""
-    out = df.repartitionByRange(partitions, "seq") if partitions else df.sortWithinPartitions("seq")
+    """Persist the event log as parquet range-partitioned by ``seq``:
+    each file holds one seq range, so epoch slices (`seq > lo AND seq
+    <= hi`) prune whole files via parquet min/max stats instead of
+    rescanning the full log every epoch."""
+    out = (
+        df.repartitionByRange(partitions, "seq")
+        if partitions
+        else df.repartitionByRange("seq")
+    )
     out.write.mode("overwrite").parquet(path)
 
 

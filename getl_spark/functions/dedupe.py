@@ -1,0 +1,237 @@
+"""Corpus deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant avoids the O(n^2) all-pairs join.
+- exact: hash-groupBy (one shuffle on the fingerprint).
+- MinHash+LSH: shingles -> K minhashes -> B bands; candidate pairs
+  come from an equi-join on (band_id, band_hash) — only documents
+  sharing a band bucket are compared, the classic
+  Broder/Leskovec-Rajaraman-Ullman scheme, all in built-in exprs.
+- SimHash: 64-bit signature via per-bit weighted majority of token
+  hashes; near-dups = equal signature or equal band (Hamming-bucketed).
+- n-gram Jaccard: exact verification on LSH candidates only.
+
+No Python UDFs anywhere — signatures are higher-order array exprs
+(transform/aggregate), so this runs at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from getl_spark.functions.text import char_shingles, fingerprint_sha256, tokens, word_shingles
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    (fingerprint, keep_id=min id, n, ids)."""
+    return (
+        df.select(F.col(id_col), fingerprint_sha256(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first (min id) document of each exact-duplicate group."""
+    keep = exact_duplicates(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signature(shingles_col, num_hashes: int = 64):
+    """K minhashes: min over shingles of xxhash64(shingle, salt_i).
+    Returns array<bigint> of length num_hashes."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_words)
+    return df.select(id_col, text_col).withColumn(
+        "minhash", minhash_signature(sh, num_hashes)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a_id < b_id) via banded LSH.
+
+    Plan: signature -> explode into B (band_id, band_hash) rows ->
+    self-equi-join on the bucket -> distinct pairs. The join key is
+    (band_id, band_hash): only same-bucket docs ever meet, so the
+    shuffle is proportional to corpus size, not its square.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, text_col, id_col, num_hashes, shingle_words)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only:
+    (a_id, b_id, jaccard) filtered to >= threshold."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+        .join(sh.withColumnRenamed(id_col, "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates -> Jaccard verify -> drop the
+    higher id of each confirmed pair (greedy, deterministic)."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands)
+    dups = (
+        jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash64(text_col) -> "F.Column":
+    """63-bit SimHash: sign of per-bit sum over token hashes.
+
+    For each bit i: +1 if bit set in xxhash64(token) else -1; the
+    signature bit is 1 if the sum > 0. Pure aggregate/transform exprs.
+    """
+    toks = F.array_distinct(tokens(F.lower(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # 63 bits, not 64: the horner fold must stay inside signed-long
+    # range (Spark 4 ANSI mode raises on overflow).
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(62)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.getbit(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    bits = F.transform(
+        bit_sums, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    # horner fold, MSB first: sig = sum(bit_i << i) without shift-by-column
+    return F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs whose SimHash matches on any 16-bit
+    band (Hamming-distance bucketing)."""
+    sig = df.select(id_col, simhash64(F.col(text_col)).alias("simhash"))
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )

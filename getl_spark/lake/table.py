@@ -325,6 +325,40 @@ class LakeTable:
             shutil.rmtree(staging, ignore_errors=True)
 
     # ------------------------------------------------------------ operations
+    def _write_pandas_file(self, pdf) -> dict:
+        """Write a SMALL pandas frame as one parquet data file via
+        pyarrow (no Spark job); returns the manifest entry (uncommitted)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if self.partition_spec.kind != "none":
+            raise ValueError("pandas writes support non-partitioned tables only")
+        schema = to_arrow_schema(self.schema())
+        tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        fname = f"snap-{uuid.uuid4().hex[:8]}-pandas.parquet"
+        dest = os.path.join(self._data_dir, fname)
+        pq.write_table(tbl, dest)
+        return {
+            "path": os.path.join("data", fname),
+            "bucket": None,
+            "schema_id": self.current_schema_id,
+            "rows": len(pdf),
+            "bytes": os.path.getsize(dest),
+        }
+
+    def append_pandas(self, pdf, summary: dict | None = None) -> dict:
+        """Append bookkeeping rows without a Spark job."""
+        entry = self._write_pandas_file(pdf)
+        s = {"added_files": 1, "added_rows": len(pdf)}
+        s.update(summary or {})
+        return self._commit_snapshot("append", self.current_files() + [entry], s)
+
+    def overwrite_pandas(self, pdf, summary: dict | None = None) -> dict:
+        """Atomically replace the whole (small) table's contents."""
+        files = [self._write_pandas_file(pdf)] if len(pdf) else []
+        return self._commit_snapshot("overwrite", files, summary)
+
     def append(self, df: DataFrame, summary: dict | None = None) -> dict:
         new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
         files = self.current_files() + new
@@ -451,6 +485,26 @@ class LakeTable:
             else:
                 out = out.withColumn("_bucket", F.lit(0))
         return out
+
+    def read_pandas(self, columns: list[str] | None = None):
+        """Driver-side read via pyarrow — for SMALL bookkeeping tables
+        (_checkpoints, _lineage): no Spark job, sub-ms per call. Only
+        valid when all files are at the current schema."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        files = self.current_files()
+        sid = self.current_schema_id
+        if any(int(f["schema_id"]) != sid for f in files):
+            raise ValueError("read_pandas requires all files at current schema")
+        if not files:
+            cols = columns or self.schema().fieldNames()
+            return pd.DataFrame({c: [] for c in cols})
+        parts = [
+            pq.read_table(os.path.join(self.location, f["path"]), columns=columns).to_pandas()
+            for f in files
+        ]
+        return pd.concat(parts, ignore_index=True)
 
     def count_rows(self, buckets: Iterable[int] | None = None) -> int:
         """COUNT(*) from manifest stats — no scan (getl countRow analog,

@@ -8,14 +8,20 @@ ProcessTime rows/sec stats
 (epoch, storage bucket): source offset range, event count, bytes,
 apply latency (FIXTURES.md §5).
 
-The aggregation runs over the epoch slice grouped by the target's
-bucket transform — the same hash the MERGE shuffles on, so at scale
-this agg piggybacks on data already clustered by bucket. Re-recording
-an epoch (crash repair) first deletes that epoch's rows, keeping the
-table idempotent per epoch.
+Perf: the aggregation (one distributed job over the epoch slice,
+grouped by the target's bucket transform — the hash the MERGE already
+clustered on) collects <= num_buckets rows; the table write itself is
+a driver-side pyarrow append (no second Spark job), and the collected
+stats are returned so the caller derives (event_count, max_seq) for
+the checkpoint without re-reading anything.
+
+Idempotence: re-recording an epoch (crash repair) drops that epoch's
+rows in the same atomic commit that adds the new ones.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +34,8 @@ LINEAGE_SCHEMA = parse_ddl(
     "event_count bigint, bytes bigint, apply_latency_ms bigint"
 )
 
+_COLS = [f.name for f in LINEAGE_SCHEMA.fields]
+
 
 class LineageRecorder:
     def __init__(self, catalog: LakeCatalog, table_name: str = "_lineage"):
@@ -35,8 +43,9 @@ class LineageRecorder:
             table_name, LINEAGE_SCHEMA, PartitionSpec.none(), if_not_exists=True
         )
 
-    def compute(self, events: DataFrame, epoch: int, bucket_expr, latency_ms: int) -> DataFrame:
-        return (
+    def compute(self, events: DataFrame, epoch: int, bucket_expr, latency_ms: int) -> pd.DataFrame:
+        """One distributed agg -> <= num_buckets collected rows."""
+        rows = (
             events.groupBy(bucket_expr.cast("int").alias("partition_id"))
             .agg(
                 F.min("seq").alias("seq_min"),
@@ -44,27 +53,46 @@ class LineageRecorder:
                 F.count(F.lit(1)).alias("event_count"),
                 F.coalesce(F.sum(F.length("content")), F.lit(0)).cast("bigint").alias("bytes"),
             )
-            .select(
-                F.lit(int(epoch)).cast("bigint").alias("epoch"),
-                "partition_id",
-                "seq_min",
-                "seq_max",
-                "event_count",
-                "bytes",
-                F.lit(int(latency_ms)).cast("bigint").alias("apply_latency_ms"),
-            )
+            .collect()
         )
+        pdf = pd.DataFrame(
+            [
+                {
+                    "epoch": int(epoch),
+                    "partition_id": int(r["partition_id"]),
+                    "seq_min": int(r["seq_min"]),
+                    "seq_max": int(r["seq_max"]),
+                    "event_count": int(r["event_count"]),
+                    "bytes": int(r["bytes"]),
+                    "apply_latency_ms": int(latency_ms),
+                }
+                for r in rows
+            ],
+            columns=_COLS,
+        )
+        return pdf.astype({c: "int64" for c in _COLS if c != "partition_id"}).astype(
+            {"partition_id": "int32"}
+        ) if len(pdf) else pdf
 
-    def record(self, spark: SparkSession, events: DataFrame, epoch: int, bucket_expr, latency_ms: int) -> None:
+    def record(self, spark: SparkSession, events: DataFrame, epoch: int, bucket_expr, latency_ms: int) -> pd.DataFrame:
+        """Aggregate + persist lineage; returns the epoch's rows."""
+        pdf = self.compute(events, epoch, bucket_expr, latency_ms)
         self.table.refresh()
-        if self.table.count_rows() > 0:
-            existing = (
-                self.table.read(spark).filter(f"epoch = {int(epoch)}").limit(1).count()
-            )
-            if existing:
-                self.table.delete_where(spark, f"epoch = {int(epoch)}")
-        self.table.append(self.compute(events, epoch, bucket_expr, latency_ms), {"epoch": epoch})
+        recorded = {int(s["summary"].get("epoch", -1)) for s in self.table.meta["snapshots"]}
+        if int(epoch) in recorded:
+            # crash repair: atomically replace this epoch's rows
+            existing = self.table.read_pandas()
+            keep = existing[existing["epoch"] != int(epoch)]
+            merged = pd.concat([keep, pdf], ignore_index=True) if len(pdf) else keep
+            self.table.overwrite_pandas(merged, {"epoch": int(epoch), "repair": True})
+        elif len(pdf):
+            self.table.append_pandas(pdf, {"epoch": int(epoch)})
+        return pdf
 
     def read(self, spark: SparkSession) -> DataFrame:
         self.table.refresh()
         return self.table.read(spark)
+
+    def read_pandas(self) -> pd.DataFrame:
+        self.table.refresh()
+        return self.table.read_pandas()

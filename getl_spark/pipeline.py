@@ -84,11 +84,16 @@ class CDCPipeline:
         slice of the log (any op mix, duplicates fine)."""
         t0 = time.monotonic()
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        winners = None
         try:
             for change in schema_changes or []:
                 self._apply_schema_change(change)
 
-            winners = lww_dedup(events, self.keys, "seq", "commit")
+            # winners persisted: the merge needs them twice (touched-
+            # bucket discovery + the join itself) — one window, not two.
+            winners = lww_dedup(events, self.keys, "seq", "commit").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             src = winners.withColumn("_epoch", F.lit(int(epoch)).cast("bigint")).withColumnRenamed(
                 "seq", "_seq"
             )
@@ -107,16 +112,9 @@ class CDCPipeline:
 
             spec = self.target.partition_spec
             bucket_expr = spec.bucket_expr() if spec.kind == "bucket" else F.lit(0)
-            self.lineage.record(self.spark, events, epoch, bucket_expr, latency_ms)
-            lin = (
-                self.lineage.table.read(self.spark)
-                .filter(f"epoch = {int(epoch)}")
-                .agg(
-                    F.sum("event_count").alias("n"), F.max("seq_max").alias("mx")
-                )
-                .collect()[0]
-            )
-            n_events, max_seq = int(lin["n"] or 0), lin["mx"]
+            lin = self.lineage.record(self.spark, events, epoch, bucket_expr, latency_ms)
+            n_events = int(lin["event_count"].sum()) if len(lin) else 0
+            max_seq = int(lin["seq_max"].max()) if len(lin) else None
             if max_seq is not None:
                 self.checkpoints.save(self.spark, self.name, epoch, int(max_seq))
             return EpochResult(
@@ -129,6 +127,8 @@ class CDCPipeline:
             )
         finally:
             events.unpersist()
+            if winners is not None:
+                winners.unpersist()
 
     def _align_source_columns(self, src: DataFrame) -> DataFrame:
         """Map incoming event columns through the target's rename

@@ -1,0 +1,759 @@
+"""Operator inventory as driver-checkable queries.
+
+Every entry pairs a Spark DataFrame implementation with an ANSI-SQL
+oracle DuckDB runs on the same parquet — the correctness gate of
+SURVEY §2. Numeric discipline for bit-identical cross-engine results:
+
+- money/measure aggregates cast to DECIMAL **before** summing (exact,
+  order-independent) and the result cast to a fixed precision so both
+  engines report the same type;
+- averages computed as exact-decimal sum -> double -> fixed decimal;
+- similarity scores rounded to 4dp and ranked on the ROUNDED value
+  with an id tiebreak, so top-k cuts are deterministic in both engines;
+- timestamps surfaced as epoch seconds or formatted strings, never raw.
+
+Keys marked in NO_ORACLE are genuinely non-SQL-expressible (xxhash64-
+seeded MinHash/SimHash/LSH operators) — the driver records rows-only
+checks for them; their exactness is covered by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from getl_spark.functions import dedupe, simsearch, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=18, s=2):
+    return col.cast(f"decimal({p},{s})")
+
+
+def _avg_exact(sum_dec, count_col, s=6):
+    """Exact-decimal sum -> double -> decimal(18,s): identical in both engines."""
+    return (sum_dec.cast("double") / count_col).cast(f"decimal(18,{s})")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational core (scan/filter/agg/join/sort — SURVEY §2.1-2.7)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    sum_qty = F.sum(_dec(F.col("l_quantity")))
+    sum_base = F.sum(_dec(F.col("l_extendedprice")))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec(sum_qty, 18, 2).alias("sum_qty"),
+        _dec(sum_base, 18, 2).alias("sum_base_price"),
+        F.sum(_dec(disc_price, 18, 6)).cast("decimal(18,6)").alias("sum_disc_price"),
+        F.sum(_dec(charge, 18, 6)).cast("decimal(18,6)").alias("sum_charge"),
+        _avg_exact(F.sum(_dec(F.col("l_quantity"))), cnt).alias("avg_qty"),
+        _avg_exact(F.sum(_dec(F.col("l_extendedprice"))), cnt).alias("avg_price"),
+        _avg_exact(F.sum(_dec(F.col("l_discount"), 18, 4)), cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)).cast(
+        "decimal(18,6)"
+    )
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(rev.alias("revenue"))
+    )
+    return j.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_segment_revenue(spark, sf_dir):
+    """Broadcast lookup join — getl `lookup` (Dataset.groovy:1141-1183)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec(F.sum(_dec(F.col("o_totalprice"))), 18, 2).alias("revenue"),
+        )
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_agg_filtered(spark, sf_dir):
+    """getl Aggregator: COUNT/SUM/MIN/MAX + per-agg filter closure
+    (AggregatorDatasetDriver.groovy:119-206) -> agg(when(cond, x))."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec(F.sum(_dec(F.col("l_quantity"))), 18, 2).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        _dec(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, _dec(F.col("l_quantity"))).otherwise(
+                    _dec(F.lit(0))
+                )
+            ),
+            18,
+            2,
+        ).alias("disc_qty"),
+    )
+
+
+SQL_AGG_FILTERED = """
+SELECT l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS disc_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_global(spark, sf_dir):
+    """Empty group-by '*ALL*' (AggregatorDatasetDriver.groovy:139-141)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec(F.sum(_dec(F.col("l_quantity"))), 18, 2).alias("sum_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        _avg_exact(F.sum(_dec(F.col("l_extendedprice"))), F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+SQL_AGG_GLOBAL = """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_price
+FROM lineitem
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    """Sorter + limit (SorterDatasetDriver.groovy:50-110)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders WHERE o_custkey < 100
+) WHERE rnk <= 3
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.year("o_orderdate") < 1995).select("o_custkey")
+    late = o.filter(F.year("o_orderdate") >= 1995).select("o_custkey")
+    return early.intersect(late)
+
+
+SQL_SET_INTERSECT = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1995
+"""
+
+
+def q_set_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.year("o_orderdate") < 1995).select("o_custkey")
+    late = o.filter(F.year("o_orderdate") >= 1995).select("o_custkey")
+    return early.exceptAll(late).distinct()
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1995
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1995
+)
+"""
+
+
+def q_rollup(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec(F.sum(_dec(F.col("l_quantity"))), 18, 2).alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_events(spark, sf_dir):
+    """Filtered multicast / fan-out counts (MutlipleDatasetDriver
+    condition closures) as conditional aggregation."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events WHERE user_id < 50 GROUP BY user_id
+"""
+
+
+def q_type_convert(spark, sf_dir):
+    """Type-conversion matrix (GenerationUtils.GenerateConvertValue,
+    utils/GenerationUtils.groovy:158-430)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.col("o_custkey").cast("string").alias("custkey_str"),
+    )
+
+
+SQL_TYPE_CONVERT = """
+SELECT o_orderkey,
+  CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+  strftime(o_orderdate, '%Y-%m-%d') AS od,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(month(o_orderdate) AS INTEGER) AS mo,
+  CAST(o_custkey AS VARCHAR) AS custkey_str
+FROM orders
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured flatten (JSONDriver rootNode/alias,
+    json/JSONDriver.groovy:92-203) -> get_json_object."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 100)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, user_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events WHERE event_id <= 100
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC core on the events stream (SURVEY §2.5, §2.10)
+# --------------------------------------------------------------------------
+
+_OP_CASE = (
+    "CASE WHEN event_type='signup' THEN 'I' WHEN event_type='error' THEN 'D' ELSE 'U' END"
+)
+
+
+def q_cdc_lww_latest(spark, sf_dir):
+    """North-rule LWW: row_number over (key) by monotonic id desc = 1."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.unix_timestamp("ts").alias("last_ts_epoch"),
+        )
+    )
+
+
+SQL_CDC_LWW_LATEST = """
+SELECT user_id, event_type, event_id AS last_event_id, value AS last_value,
+  CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_final_state(spark, sf_dir):
+    """Full replay reduction: last event per key wins; delete removes."""
+    e = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_CASE))
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter("op <> 'D'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("op").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+SQL_CDC_FINAL_STATE = f"""
+SELECT user_id, event_id AS last_event_id, op AS last_op, value AS last_value
+FROM (
+  SELECT *, {_OP_CASE} AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_merge_apply(spark, sf_dir):
+    """Two-batch merge composition == one-shot replay: base state from
+    the first half of the log merged with changes from the second half
+    (full-outer + delete semantics) — the engine's MERGE arms in pure
+    relational form."""
+    e = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_CASE))
+    mid = 750
+
+    def lww(df):
+        w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+        return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    base = lww(e.filter(F.col("event_id") <= mid)).filter("op <> 'D'")
+    changes = lww(e.filter(F.col("event_id") > mid))
+    t = base.select(
+        F.col("user_id").alias("t_user"), F.col("event_id").alias("t_eid"), F.col("op").alias("t_op")
+    )
+    s = changes.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("s_eid"),
+        F.col("op").alias("s_op"),
+    )
+    j = t.join(s, t.t_user == s.s_user, "full_outer")
+    merged = (
+        j.filter(~(F.col("s_op") == "D") | F.col("s_op").isNull())
+        .select(
+            F.coalesce("t_user", "s_user").alias("user_id"),
+            F.coalesce("s_eid", "t_eid").alias("last_event_id"),
+            F.coalesce("s_op", "t_op").alias("last_op"),
+        )
+    )
+    return merged
+
+
+SQL_CDC_MERGE_APPLY = f"""
+SELECT user_id, event_id AS last_event_id, op AS last_op
+FROM (
+  SELECT *, {_OP_CASE} AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_incremental_range(spark, sf_dir):
+    """Watermark key-range read (ReadSpec.where, jdbc/opts/ReadSpec.groovy:73)."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") > 300) & (F.col("event_id") <= 700)
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"), 18, 6)).cast("decimal(18,6)").alias("sum_value"),
+    )
+
+
+SQL_CDC_INCREMENTAL_RANGE = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+FROM events WHERE event_id > 300 AND event_id <= 700
+GROUP BY event_type
+"""
+
+
+def q_story_anti_join(spark, sf_dir):
+    """Exactly-once story-table pattern (files/Manager.groovy:936-948):
+    events from users never seen in the 'already ingested' story."""
+    e = _t(spark, sf_dir, "events")
+    story = e.filter(F.col("event_id") <= 200).select("user_id").distinct()
+    return (
+        e.join(story, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_STORY_ANTI_JOIN = """
+SELECT event_type, COUNT(*) AS n FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events s WHERE s.event_id <= 200 AND s.user_id = e.user_id
+)
+GROUP BY event_type
+"""
+
+
+def q_window_running(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec(F.col("value"), 18, 6)).over(w).cast("decimal(18,6)").alias("run_sum"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+       OVER (PARTITION BY user_id ORDER BY event_id) AS DECIMAL(18,6)) AS run_sum
+FROM events WHERE user_id < 20
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative session starts)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    start = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("s", start)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, CAST(SUM(s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN floor(epoch(ts)) - floor(epoch(LAG(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS s
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_seq_surrogate(spark, sf_dir):
+    """Sequence surrogate keys (jdbc/Sequence.groovy:101-112):
+    deterministic dense row_number, not monotonically_increasing_id."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return d.select(F.row_number().over(w).alias("sk"), "doc_id")
+
+
+SQL_SEQ_SURROGATE = """
+SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS sk, doc_id FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data operators over documents / embeddings
+# --------------------------------------------------------------------------
+
+
+def q_text_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length(text.normalize_for_fingerprint(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+  length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_chars_norm
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        F.round(text.mean_word_length(F.col("text")), 4).alias("mean_wlen"),
+    )
+
+
+_SW = "['the','a','of','and','to','in','is','it']"
+SQL_TEXT_QUALITY = rf"""
+SELECT doc_id,
+  CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
+       ELSE round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  t -> list_contains({_SW}, t)))
+            * 1.0 / len(string_split_regex(trim(lower(text)), '\s+')), 4) END AS stop_ratio,
+  CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+       ELSE round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                          t -> len(t)))
+            * 1.0 / len(string_split_regex(trim(text), '\s+')), 4) END AS mean_wlen
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_sha256(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.exact_duplicates(d).select("fingerprint", "keep_id", "n")
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_simsearch_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return simsearch.cosine_topk(emb, queries, k=5)
+
+
+SQL_SIMSEARCH_TOPK = """
+SELECT query_id, neighbor_id, score FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[])), 4) AS score,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 4) DESC,
+               c.vec_id) AS rnk
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) WHERE rnk <= 5
+"""
+
+
+def q_text_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_guess"))
+
+
+SQL_TEXT_LANG = r"""
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+    WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
+    WHEN regexp_matches(lower(text), '\b(der|die|das|und|nicht)\b') THEN 'de'
+    WHEN regexp_matches(lower(text), '\b(le|la|les|est|une)\b') THEN 'fr'
+    WHEN regexp_matches(lower(text), '\b(el|los|las|una|es)\b') THEN 'es'
+    WHEN regexp_matches(lower(text), '\b(the|is|are|was|of)\b') THEN 'en'
+    ELSE 'und' END AS lang_guess
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible (xxhash64-seeded sketches) — rows-only checks;
+# exactness covered in tests/test_functions.py
+# --------------------------------------------------------------------------
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.lsh_candidate_pairs(d, num_hashes=32, bands=8)
+
+
+def q_near_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.near_dedup_minhash(d, num_hashes=32, bands=8, threshold=0.6).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.simhash_duplicates(d)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return simsearch.lsh_topk(emb, queries, k=5, n_bits=6, n_tables=4)
+
+
+# --------------------------------------------------------------------------
+
+
+def all_queries():
+    return {
+        "tpch_q1": q_tpch_q1,
+        "shipping_priority": q_shipping_priority,
+        "segment_revenue": q_segment_revenue,
+        "agg_filtered": q_agg_filtered,
+        "agg_global": q_agg_global,
+        "sort_limit": q_sort_limit,
+        "topk_per_group": q_topk_per_group,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "rollup": q_rollup,
+        "pivot_events": q_pivot_events,
+        "type_convert": q_type_convert,
+        "json_extract": q_json_extract,
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_merge_apply": q_cdc_merge_apply,
+        "cdc_incremental_range": q_cdc_incremental_range,
+        "story_anti_join": q_story_anti_join,
+        "window_running": q_window_running,
+        "sessionize": q_sessionize,
+        "seq_surrogate": q_seq_surrogate,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_lang": q_text_lang,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "simsearch_topk": q_simsearch_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dedup": q_near_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
+
+
+def all_oracles():
+    return {
+        "tpch_q1": SQL_TPCH_Q1,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "segment_revenue": SQL_SEGMENT_REVENUE,
+        "agg_filtered": SQL_AGG_FILTERED,
+        "agg_global": SQL_AGG_GLOBAL,
+        "sort_limit": SQL_SORT_LIMIT,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "set_intersect": SQL_SET_INTERSECT,
+        "set_except": SQL_SET_EXCEPT,
+        "rollup": SQL_ROLLUP,
+        "pivot_events": SQL_PIVOT_EVENTS,
+        "type_convert": SQL_TYPE_CONVERT,
+        "json_extract": SQL_JSON_EXTRACT,
+        "cdc_lww_latest": SQL_CDC_LWW_LATEST,
+        "cdc_final_state": SQL_CDC_FINAL_STATE,
+        "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
+        "cdc_incremental_range": SQL_CDC_INCREMENTAL_RANGE,
+        "story_anti_join": SQL_STORY_ANTI_JOIN,
+        "window_running": SQL_WINDOW_RUNNING,
+        "sessionize": SQL_SESSIONIZE,
+        "seq_surrogate": SQL_SEQ_SURROGATE,
+        "text_tokens": SQL_TEXT_TOKENS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_lang": SQL_TEXT_LANG,
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "simsearch_topk": SQL_SIMSEARCH_TOPK,
+        # minhash_lsh_pairs / near_dedup / simhash_pairs / ann_lsh_topk:
+        # xxhash64-seeded — no SQL oracle (rows-only check)
+    }
