@@ -38,7 +38,7 @@ from getl_spark.schema import parse_ddl
 
 TARGET_SCHEMA_DDL = (
     "repo string, path string, commit string, lang string, content string, "
-    "_seq bigint, _epoch bigint"
+    "_seq bigint, _epoch bigint, _deleted boolean"
 )
 
 
@@ -94,16 +94,25 @@ class CDCPipeline:
             winners = lww_dedup(events, self.keys, "seq", "commit").persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            src = winners.withColumn("_epoch", F.lit(int(epoch)).cast("bigint")).withColumnRenamed(
-                "seq", "_seq"
+            # Deletes become TOMBSTONES (_deleted=true) rather than
+            # physical row removal, and every arm is guarded by
+            # s._seq > t._seq: the per-key state is monotonic in seq,
+            # so epochs/micro-batches may arrive in ANY order (file-
+            # listing order in the streaming tailer is not contractual)
+            # and the final state still converges to the oracle's LWW
+            # reduction. A stale U after an applied D loses to the
+            # tombstone's higher seq instead of resurrecting the row.
+            src = (
+                winners.withColumn("_epoch", F.lit(int(epoch)).cast("bigint"))
+                .withColumnRenamed("seq", "_seq")
+                .withColumn("_deleted", F.col("op") == "D")
             )
             src = self._align_source_columns(src)
             res = (
                 self.target.merge(src)
                 .on(self.keys)
-                .when_matched_delete("s.op = 'D'")
-                .when_matched_update()
-                .when_not_matched_insert("s.op <> 'D'")
+                .when_matched_update(condition="s._seq > t._seq")
+                .when_not_matched_insert()
                 .idempotency(self.name, epoch)
                 .with_summary({"engine": "getl_spark"})
                 .execute(self.spark)
@@ -191,9 +200,21 @@ class CDCPipeline:
         return results
 
     # ------------------------------------------------------------ reading
-    def state(self) -> DataFrame:
+    def state(self, include_tombstones: bool = False) -> DataFrame:
+        """Live table state (tombstones filtered and marker dropped)."""
         self.target.refresh()
-        return self.target.read(self.spark)
+        df = self.target.read(self.spark)
+        if include_tombstones:
+            return df
+        return df.filter(~F.col("_deleted")).drop("_deleted")
+
+    def purge_tombstones(self, older_than_seq: int) -> dict:
+        """Maintenance: physically drop tombstones whose seq is below a
+        safety horizon (no in-flight batch can still carry lower seqs).
+        The streaming analog of Iceberg's delete-file compaction."""
+        return self.target.delete_where(
+            self.spark, f"_deleted AND _seq < {int(older_than_seq)}"
+        )
 
     def state_sha256(self) -> DataFrame:
         """Per-row invariant view: (repo, path, sha2(content, 256))."""

@@ -1,0 +1,81 @@
+"""Structured Streaming tailer — the continuous form of the pipeline.
+
+``readStream`` over the event-log directory with
+``Trigger.AvailableNow`` (batch-incremental, the streaming analog of
+getl's watermark polling loop, SURVEY §2.10 last row) and
+``foreachBatch`` applying the same dedup -> merge -> lineage ->
+checkpoint epoch logic. Two checkpoint layers cooperate:
+
+- Spark's own checkpointLocation tracks source offsets (which files
+  of the log have been consumed) — resume is automatic;
+- the engine's epoch idempotency (target watermark property +
+  _checkpoints) de-duplicates at-least-once batch redelivery: if a
+  crash happens after the merge commit but before Spark records the
+  batch, the re-delivered batch is skipped by the epoch guard.
+
+foreachBatch's ``batch_id`` is monotonic per checkpointLocation, so it
+IS the epoch. This is exactly the "readStream handles offsets, the
+lake table replays the role of the history table" design of SURVEY
+§3.3.
+
+At cluster scale the same code tails a Kafka/binlog source: swap
+``format("parquet")`` for ``format("kafka")`` + a from_json projection;
+everything downstream is format-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from getl_spark.events import EVENT_SCHEMA_DDL
+from getl_spark.pipeline import CDCPipeline
+from getl_spark.schema import parse_ddl
+
+
+class StreamingTailer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        checkpoint_dir: str,
+        name: str = "tail",
+        num_buckets: int = 16,
+        write_salt: int = 1,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.pipeline = CDCPipeline(
+            spark, warehouse, name=name, num_buckets=num_buckets, write_salt=write_salt
+        )
+
+    def run_available_now(self, event_log_path: str) -> int:
+        """Consume everything currently in the log, then stop.
+        Returns the number of micro-batches applied this run."""
+        reader = (
+            self.spark.readStream.format("parquet")
+            .schema(parse_ddl(EVENT_SCHEMA_DDL))
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.load(event_log_path)
+
+        applied = {"n": 0}
+
+        def apply_batch(batch_df, batch_id: int):
+            res = self.pipeline.apply_epoch(batch_df, int(batch_id))
+            if res.applied:
+                applied["n"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return applied["n"]
+
+    def state(self):
+        return self.pipeline.state()

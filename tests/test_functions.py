@@ -1,0 +1,149 @@
+"""Unit exactness for the sketch operators that have no SQL oracle
+(MinHash/LSH, SimHash, Jaccard, ANN) plus text-function edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from getl_spark.functions import dedupe, simsearch, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog", "en"),  # near dup of 1
+    (4, "completely different content about spark engines", "en"),
+    (5, "der schnelle braune fuchs und nicht der hund", "de"),
+    (6, "", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string, lang string")
+
+
+def test_token_count_and_empty(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 9
+    assert got[6] == 0
+
+
+def test_stopword_and_quality(spark, docs):
+    q = docs.select(
+        "doc_id",
+        text.stopword_ratio(F.col("text")).alias("sr"),
+        text.quality_score(F.col("text")).alias("qs"),
+    ).collect()
+    by = {r.doc_id: r for r in q}
+    assert by[1].sr == pytest.approx(2 / 9)
+    assert by[6].sr == 0.0
+    assert 0.0 <= by[4].qs <= 1.0
+
+
+def test_lang_id_markers(spark):
+    rows = spark.createDataFrame(
+        [
+            ("the cat is here",),
+            ("der hund und die katze",),
+            ("le chat est une merveille",),
+            ("los gatos es una maravilla",),
+            ("你好世界",),
+            ("xyzzy qwerty",),
+        ],
+        "t string",
+    ).select(text.lang_id(F.col("t")).alias("l"))
+    assert [r.l for r in rows.collect()] == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("HELLO\tWORLD",)], "t string"
+    )
+    fps = df.select(text.fingerprint_sha256(F.col("t")).alias("f")).collect()
+    assert len({r.f for r in fps}) == 1
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = dedupe.exact_dedup(docs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 in ids and 2 not in ids
+    assert len(ids) == 5
+
+
+def test_lsh_finds_near_dup_pair(spark, docs):
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedupe.lsh_candidate_pairs(
+            docs.filter("doc_id <> 6"), num_hashes=32, bands=16
+        ).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should bucket together
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_verify_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "a_id bigint, b_id bigint")
+    j = dedupe.jaccard_verify(docs, pairs, threshold=0.0)
+    by = {(r.a_id, r.b_id): r.jaccard for r in j.collect()}
+    assert by[(1, 2)] == 1.0
+    assert by[(1, 4)] == 0.0
+
+
+def test_near_dedup_drops_duplicates(spark, docs):
+    # (1,3) jaccard is exactly 0.4: one word of nine differs, which
+    # perturbs 3 of 7 three-word shingles -> 4/10
+    kept = dedupe.near_dedup_minhash(
+        docs.filter("doc_id <> 6"), num_hashes=32, bands=16, threshold=0.35
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 in ids
+    assert 2 not in ids  # exact dup dropped
+    assert 3 not in ids  # near dup dropped at 0.35
+    assert 4 in ids and 5 in ids
+    # at a stricter threshold the 0.4-jaccard pair survives
+    strict = dedupe.near_dedup_minhash(
+        docs.filter("doc_id <> 6"), num_hashes=32, bands=16, threshold=0.5
+    )
+    assert 3 in {r.doc_id for r in strict.collect()}
+
+
+def test_simhash_exact_dup_same_signature(spark, docs):
+    sig = docs.filter("doc_id IN (1,2,4)").select(
+        "doc_id", dedupe.simhash64(F.col("text")).alias("s")
+    ).collect()
+    by = {r.doc_id: r.s for r in sig}
+    assert by[1] == by[2]
+    assert by[1] != by[4]
+    pairs = {(r.a_id, r.b_id) for r in dedupe.simhash_duplicates(docs.filter("doc_id <> 6")).collect()}
+    assert (1, 2) in pairs
+
+
+def test_cosine_topk_exact_values(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    top = simsearch.cosine_topk(vecs, vecs.filter("vec_id = 0"), k=3)
+    got = [(r.neighbor_id, r.score) for r in top.orderBy(F.desc("score"), "neighbor_id").collect()]
+    assert got[0] == (1, 1.0)
+    assert got[1] == (3, pytest.approx(0.7071, abs=1e-4))
+    assert got[2] == (2, 0.0)
+
+
+def test_lsh_topk_recall_on_exact_match(spark):
+    import math
+
+    # 16-dim ring of vectors; query 0's nearest is its duplicate 100
+    base = [[math.cos(i / 7 + d) for d in range(16)] for i in range(50)]
+    rows = [(i, base[i]) for i in range(50)] + [(100, base[0])]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    approx = simsearch.lsh_topk(
+        vecs, vecs.filter("vec_id = 0"), k=3, n_bits=4, n_tables=6
+    )
+    neighbors = [r.neighbor_id for r in approx.collect()]
+    assert 100 in neighbors, "identical vector must share every hash bucket"
