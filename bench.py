@@ -13,6 +13,8 @@ Env knobs:
   SPARK_GRAFT_CPUS         (default 32)
   SPARK_GRAFT_BENCH_EVENTS (default 2_000_000)
   SPARK_GRAFT_BENCH_EPOCHS (default 4)
+  SPARK_GRAFT_BENCH_MODE   ("full" | "replay_only")
+  SPARK_GRAFT_EVENT_LOG    (reuse a pre-generated log dir; skips gen)
 
 Scaling evidence (N vs 4N cores) is produced by
 scripts/scaling_bench.py and recorded in BENCH.md.
@@ -54,6 +56,8 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
     n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
+    reuse_log = os.environ.get("SPARK_GRAFT_EVENT_LOG")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark("getl-spark-bench", cpus=cpus)
@@ -63,12 +67,15 @@ def main():
     try:
         # -- phase 1: event-log synthesis -> parquet
         t0 = time.monotonic()
-        ev = generate_change_events(
-            spark, n_events, n_keys=max(n_events // 20, 1000), n_repos=max(n_events // 1000, 8),
-            seed=42, partitions=cpus * 2,
-        )
-        log_path = os.path.join(tmp, "event_log")
-        write_event_log(ev, log_path)
+        if reuse_log:
+            log_path = reuse_log
+        else:
+            ev = generate_change_events(
+                spark, n_events, n_keys=max(n_events // 20, 1000), n_repos=max(n_events // 1000, 8),
+                seed=42, partitions=cpus * 2,
+            )
+            log_path = os.path.join(tmp, "event_log")
+            write_event_log(ev, log_path)
         timings["gen"] = time.monotonic() - t0
 
         # -- phase 2: CDC replay (the headline)
@@ -86,11 +93,12 @@ def main():
         final_rows = pipe.target.count_rows()
 
         # -- phase 3: analytical queries at sf_dir
-        qs = all_queries()
-        for name in BENCH_QUERIES:
-            t0 = time.monotonic()
-            qs[name](spark, sf_dir).count()
-            timings[name] = time.monotonic() - t0
+        if mode == "full":
+            qs = all_queries()
+            for name in BENCH_QUERIES:
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).count()
+                timings[name] = time.monotonic() - t0
 
         out = {
             "metric": "cdc_replay_plus_queries_total",

@@ -1,19 +1,25 @@
 """Last-writer-wins dedup — the north-rule core operator.
 
-``row_number() OVER (PARTITION BY keys ORDER BY seq DESC, tiebreak
-DESC) = 1`` collapses all change events for a key within a batch to
-the single winning event.
+Three physical strategies for the same semantics (winner per key =
+max (order, tiebreak)):
+
+- ``agg`` (default): ``groupBy(keys).agg(max_by(struct(*), struct(
+  order, tiebreak)))`` — partial aggregation combines map-side, no
+  sort, so the shuffle moves ~one row per (key, map partition)
+  instead of every event. Strictly dominates the window form.
+- ``broadcast``: valid when ``order_col`` is globally UNIQUE (our
+  event log guarantees seq uniqueness): shuffle only (keys, order)
+  to find winner order-values, broadcast them, and semi-join the raw
+  stream — the wide rows (content ~KBs) are never shuffled at all.
+  The winner set is per-epoch keys (small); guarded by a count cap
+  with automatic fallback to ``agg``.
+- ``window``: the textbook row_number form (kept for reference and
+  cross-checking in tests).
 
 Reference parity: getl collapses duplicates DB-side keeping Min(ID)
 (first-writer, /root/reference/src/main/groovy/getl/files/Manager.groovy:891-932);
-CDC needs last-writer, with total order pinned to (seq, commit)
-(SURVEY §7.4 risk 2: ties impossible for unique seq, but the tiebreak
-keeps the reduction deterministic if a source ever replays seqs).
-
-Scale: the window shuffles by key once; the same hash partitioning is
-what the downstream MERGE joins on, so AQE can reuse the exchange.
-Skew on hot keys is not a concern here — the partition key (repo,
-path) is fine-grained; repo-level heat spreads over many paths.
+CDC needs last-writer with total order (seq, commit) — SURVEY §7.4
+risk 2.
 """
 
 from __future__ import annotations
@@ -22,19 +28,71 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _winner_struct(df: DataFrame, keys, order_col: str, tiebreak: str, reverse: bool):
+    sign = -1 if reverse else 1
+    # max_by with a struct ordering key: lexicographic (order, tiebreak)
+    ord_key = F.struct(
+        F.col(order_col).alias("o"),
+        F.col(tiebreak).alias("t"),
+    )
+    if reverse:
+        # min via max_by over negated bigint order; tiebreak flips via
+        # the window fallback (first-writer is not on the hot path)
+        w = Window.partitionBy(*keys).orderBy(F.asc(order_col), F.asc(tiebreak))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    val = F.struct(*[F.col(c) for c in df.columns])
+    out = df.groupBy(*keys).agg(F.max_by(val, ord_key).alias("_w"))
+    return out.select("_w.*")
+
+
 def lww_dedup(
     df: DataFrame,
     keys: list[str] | tuple[str, ...] = ("repo", "path"),
     order_col: str = "seq",
     tiebreak: str = "commit",
+    strategy: str = "agg",
+    broadcast_cap: int = 5_000_000,
 ) -> DataFrame:
     """Keep only the winning (last) event per key."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc(tiebreak))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    keys = list(keys)
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc(tiebreak))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if strategy == "broadcast":
+        return _lww_broadcast(df, keys, order_col, tiebreak, broadcast_cap)
+    return _winner_struct(df, keys, order_col, tiebreak, reverse=False)
+
+
+def _lww_broadcast(
+    df: DataFrame, keys: list[str], order_col: str, tiebreak: str, cap: int
+) -> DataFrame:
+    """Fast path for unique ``order_col``: the wide rows never shuffle.
+
+    1. project (keys, order) — tiny rows — and aggregate the winning
+       order value per key (partial agg, one small shuffle);
+    2. broadcast the winner order-values and inner-join the raw stream
+       on order_col: a broadcast hash join, zero shuffle of content.
+
+    Falls back to the agg strategy when the winner set exceeds ``cap``
+    (broadcast memory guard — at 10^10 scale with 10^8-key epochs use
+    agg, which is what the fallback does automatically).
+    """
+    light = df.select(*keys, order_col).groupBy(*keys).agg(
+        F.max(order_col).alias(order_col)
     )
+    n = light.count()
+    if n > cap:
+        return _winner_struct(df, keys, order_col, tiebreak, reverse=False)
+    winners = F.broadcast(light.select(order_col))
+    return df.join(winners, order_col, "inner")
 
 
 def first_writer_dedup(
@@ -44,9 +102,4 @@ def first_writer_dedup(
     tiebreak: str = "commit",
 ) -> DataFrame:
     """getl's Min(ID) first-writer variant (files/Manager.groovy:891-932)."""
-    w = Window.partitionBy(*keys).orderBy(F.asc(order_col), F.asc(tiebreak))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return _winner_struct(df, list(keys), order_col, tiebreak, reverse=True)

@@ -63,10 +63,14 @@ class CDCPipeline:
         checkpoint_method: str = "INSERT",
         write_salt: int = 1,
         target_table: str = "target",
+        lww_strategy: str = "broadcast",
     ):
         self.spark = spark
         self.name = name
         self.keys = list(keys)
+        # "broadcast" is safe because the event log guarantees unique
+        # seq (FIXTURES §2) and falls back to "agg" over the cap anyway
+        self.lww_strategy = lww_strategy
         self.catalog = LakeCatalog(warehouse)
         self.target: LakeTable = self.catalog.create_table(
             target_table,
@@ -91,9 +95,9 @@ class CDCPipeline:
 
             # winners persisted: the merge needs them twice (touched-
             # bucket discovery + the join itself) — one window, not two.
-            winners = lww_dedup(events, self.keys, "seq", "commit").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            winners = lww_dedup(
+                events, self.keys, "seq", "commit", strategy=self.lww_strategy
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             # Deletes become TOMBSTONES (_deleted=true) rather than
             # physical row removal, and every arm is guarded by
             # s._seq > t._seq: the per-key state is monotonic in seq,

@@ -1,0 +1,105 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+A real N vs 4N executor comparison is impossible in this sandbox, so —
+as BASELINE.md specifies — the same replay job runs at two local
+parallelism levels (local[N] and local[4N]) over the IDENTICAL
+pre-generated event log, and we report throughput at both plus
+scaling efficiency = (t_N / t_4N) / 4.
+
+Each measurement is a fresh JVM (subprocess) with a fresh warehouse:
+no page-cache-warm JVM reuse between levels; the log directory is
+shared so data is byte-identical.
+
+Usage: python scripts/scaling_bench.py [n_events] [N]
+Writes JSON to stdout; results belong in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_replay(cpus: int, n_events: int, log_path: str) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "SPARK_GRAFT_BENCH_EVENTS": str(n_events),
+            "SPARK_GRAFT_BENCH_MODE": "replay_only",
+            "SPARK_GRAFT_EVENT_LOG": log_path,
+            "PYTHONPATH": REPO,
+        }
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    tmp = tempfile.mkdtemp(prefix="getl_scaling_")
+    log_path = os.path.join(tmp, "event_log")
+    try:
+        # generate ONCE at full width (generation speed is not under test)
+        gen_env = dict(os.environ)
+        gen_env.update({"PYTHONPATH": REPO})
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"""
+import sys; sys.path.insert(0, {REPO!r})
+from getl_spark.session import get_spark
+from getl_spark.events import generate_change_events, write_event_log
+spark = get_spark("gen", cpus=32)
+spark.sparkContext.setLogLevel("ERROR")
+ev = generate_change_events(spark, {n_events}, n_keys=max({n_events}//20,1000),
+                            n_repos=max({n_events}//1000,8), seed=42, partitions=64)
+write_event_log(ev, {log_path!r})
+spark.stop()
+""",
+            ],
+            env=gen_env,
+            check=True,
+            capture_output=True,
+            timeout=3600,
+        )
+        lo = run_replay(n, n_events, log_path)
+        hi = run_replay(4 * n, n_events, log_path)
+        t_lo, t_hi = lo["queries"]["replay"], hi["queries"]["replay"]
+        eff = (t_lo / t_hi) / 4.0
+        print(
+            json.dumps(
+                {
+                    "n_events": n_events,
+                    "N": n,
+                    "4N": 4 * n,
+                    f"replay_sec_local[{n}]": t_lo,
+                    f"replay_sec_local[{4*n}]": t_hi,
+                    f"events_per_sec_local[{n}]": lo["events_per_sec"],
+                    f"events_per_sec_local[{4*n}]": hi["events_per_sec"],
+                    "speedup": round(t_lo / t_hi, 3),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
