@@ -62,7 +62,7 @@ def main():
 
     spark = get_spark("getl-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    tmp = tempfile.mkdtemp(prefix="getl_bench_")
+    tmp = tempfile.mkdtemp(prefix="getl_bench_", dir=os.environ.get("SPARK_GRAFT_TMP"))
     timings: dict[str, float] = {}
     try:
         # -- phase 1: event-log synthesis -> parquet
@@ -90,6 +90,13 @@ def main():
         applied = sum(r.events for r in results)
         timings["replay"] = replay_sec
         events_per_sec = applied / replay_sec if replay_sec > 0 else 0.0
+        # steady state: exclude the first epoch (JIT/codegen warmup) —
+        # the honest sustained-throughput figure for scaling evidence
+        steady = [r for r in results[1:]]
+        steady_sec = sum(r.latency_ms for r in steady) / 1000.0
+        steady_eps = (
+            sum(r.events for r in steady) / steady_sec if steady_sec > 0 else 0.0
+        )
         final_rows = pipe.target.count_rows()
 
         # -- phase 3: analytical queries at sf_dir
@@ -108,6 +115,8 @@ def main():
             "sf": sf,
             "events": applied,
             "events_per_sec": round(events_per_sec, 1),
+            "events_per_sec_steady": round(steady_eps, 1),
+            "epoch_latencies_ms": [r.latency_ms for r in results],
             "final_rows": final_rows,
             "cpus": cpus,
             "epochs": len(results),

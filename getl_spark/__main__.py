@@ -1,0 +1,130 @@
+"""spark-submit entry point.
+
+Cluster deployment (the north-rule run mode):
+
+    zip -r getl_spark.zip getl_spark
+    spark-submit --py-files getl_spark.zip -m getl_spark -- \
+        tail --events s3://bucket/event_log --warehouse s3://bucket/wh \
+        --epoch-size 10000000 --num-buckets 4096 --write-salt 4
+
+or locally:  python -m getl_spark tail --events ... --warehouse ...
+
+Subcommands:
+  tail      batch-incremental replay (resumes from _checkpoints)
+  stream    Structured Streaming tailer (resumes from Spark checkpoint)
+  generate  synthesize a change-event log
+  state     print the target table's live row count + snapshot history
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="getl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tail = sub.add_parser("tail")
+    tail.add_argument("--events", required=True)
+    tail.add_argument("--warehouse", required=True)
+    tail.add_argument("--epoch-size", type=int, default=1_000_000)
+    tail.add_argument("--num-buckets", type=int, default=32)
+    tail.add_argument("--write-salt", type=int, default=1)
+    tail.add_argument("--pipeline", default="tail")
+
+    stream = sub.add_parser("stream")
+    stream.add_argument("--events", required=True)
+    stream.add_argument("--warehouse", required=True)
+    stream.add_argument("--checkpoint", required=True)
+    stream.add_argument("--num-buckets", type=int, default=32)
+    stream.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    gen = sub.add_parser("generate")
+    gen.add_argument("--out", required=True)
+    gen.add_argument("--events", type=int, default=1_000_000)
+    gen.add_argument("--seed", type=int, default=42)
+
+    state = sub.add_parser("state")
+    state.add_argument("--warehouse", required=True)
+
+    args = p.parse_args(argv)
+
+    # On a cluster, spark-submit provides the session; standalone we build one.
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        spark = existing
+    else:
+        from getl_spark.session import get_spark
+
+        spark = get_spark("getl-spark-cli")
+
+    if args.cmd == "generate":
+        from getl_spark.events import generate_change_events, write_event_log
+
+        t0 = time.monotonic()
+        ev = generate_change_events(spark, args.events, seed=args.seed)
+        write_event_log(ev, args.out)
+        print(json.dumps({"generated": args.events, "sec": round(time.monotonic() - t0, 1)}))
+    elif args.cmd == "tail":
+        from getl_spark.events import read_event_log
+        from getl_spark.pipeline import CDCPipeline
+
+        pipe = CDCPipeline(
+            spark,
+            args.warehouse,
+            name=args.pipeline,
+            num_buckets=args.num_buckets,
+            write_salt=args.write_salt,
+        )
+        t0 = time.monotonic()
+        results = pipe.replay(read_event_log(spark, args.events), args.epoch_size)
+        sec = time.monotonic() - t0
+        n = sum(r.events for r in results)
+        print(
+            json.dumps(
+                {
+                    "epochs": len(results),
+                    "events": n,
+                    "sec": round(sec, 1),
+                    "events_per_sec": round(n / sec, 1) if sec > 0 else 0,
+                    "rows": pipe.target.count_rows(),
+                }
+            )
+        )
+    elif args.cmd == "stream":
+        from getl_spark.streaming import StreamingTailer
+
+        t = StreamingTailer(
+            spark,
+            args.warehouse,
+            args.checkpoint,
+            num_buckets=args.num_buckets,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        n = t.run_available_now(args.events)
+        print(json.dumps({"batches": n, "rows": t.pipeline.target.count_rows()}))
+    elif args.cmd == "state":
+        from getl_spark.lake import LakeCatalog
+
+        cat = LakeCatalog(args.warehouse)
+        out = {}
+        for name in cat.list_tables():
+            t = cat.load_table(name)
+            out[name] = {
+                "rows": t.count_rows(),
+                "snapshots": len(t.meta["snapshots"]),
+                "schema_id": t.current_schema_id,
+                "properties": t.properties,
+            }
+        print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,7 +55,7 @@ def lww_dedup(
     order_col: str = "seq",
     tiebreak: str = "commit",
     strategy: str = "agg",
-    broadcast_cap: int = 5_000_000,
+    broadcast_cap: int | None = 5_000_000,
 ) -> DataFrame:
     """Keep only the winning (last) event per key."""
     keys = list(keys)
@@ -72,7 +72,7 @@ def lww_dedup(
 
 
 def _lww_broadcast(
-    df: DataFrame, keys: list[str], order_col: str, tiebreak: str, cap: int
+    df: DataFrame, keys: list[str], order_col: str, tiebreak: str, cap: int | None
 ) -> DataFrame:
     """Fast path for unique ``order_col``: the wide rows never shuffle.
 
@@ -81,15 +81,16 @@ def _lww_broadcast(
     2. broadcast the winner order-values and inner-join the raw stream
        on order_col: a broadcast hash join, zero shuffle of content.
 
-    Falls back to the agg strategy when the winner set exceeds ``cap``
-    (broadcast memory guard — at 10^10 scale with 10^8-key epochs use
-    agg, which is what the fallback does automatically).
+    ``cap`` guards broadcast memory: when set (not None), an extra
+    count job checks the winner-set size and falls back to the agg
+    strategy above it. Callers that know their epoch key cardinality
+    (the pipeline sizes epochs) pass cap=None and skip the count job —
+    at 10^8-key epochs configure lww_strategy="agg" instead.
     """
     light = df.select(*keys, order_col).groupBy(*keys).agg(
         F.max(order_col).alias(order_col)
     )
-    n = light.count()
-    if n > cap:
+    if cap is not None and light.count() > cap:
         return _winner_struct(df, keys, order_col, tiebreak, reverse=False)
     winners = F.broadcast(light.select(order_col))
     return df.join(winners, order_col, "inner")

@@ -51,3 +51,17 @@ class LakeCatalog:
     def drop_table(self, name: str) -> None:
         if self.table_exists(name):
             self.load_table(name).drop()
+
+    def register_views(self, spark, names: list[str] | None = None) -> list[str]:
+        """Expose lake tables as temp views so users run plain
+        ``spark.sql`` over them (getl's sql/QueryDataset surface,
+        /root/reference/src/main/groovy/getl/jdbc/QueryDataset.groovy:37-73).
+        Views are snapshot-consistent: they bind the file set at
+        registration time; call again to refresh."""
+        out = []
+        for name in names or self.list_tables():
+            df = self.load_table(name).read(spark)
+            view = name.lstrip("_")
+            df.createOrReplaceTempView(view)
+            out.append(view)
+        return out

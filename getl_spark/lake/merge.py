@@ -54,6 +54,7 @@ class MergeBuilder:
         self._pipeline: str | None = None
         self._epoch: int | None = None
         self._summary: dict = {}
+        self._touched: list[int] | None = None
 
     def on(self, keys: list[str]) -> "MergeBuilder":
         self._keys = list(keys)
@@ -75,6 +76,13 @@ class MergeBuilder:
         self._pipeline, self._epoch = pipeline, int(epoch)
         return self
 
+    def touched_buckets(self, buckets: list[int]) -> "MergeBuilder":
+        """Caller already knows the touched partition buckets (e.g. from
+        a lineage aggregation over the same batch) — skip the
+        discovery job."""
+        self._touched = [int(b) for b in buckets]
+        return self
+
     def with_summary(self, summary: dict) -> "MergeBuilder":
         self._summary.update(summary)
         return self
@@ -92,10 +100,13 @@ class MergeBuilder:
         spec = t.partition_spec
         src = self.source
         if spec.kind == "bucket":
-            touched = [
-                r[0]
-                for r in src.select(spec.bucket_expr().alias("_b")).distinct().collect()
-            ]
+            if self._touched is not None:
+                touched = self._touched
+            else:
+                touched = [
+                    r[0]
+                    for r in src.select(spec.bucket_expr().alias("_b")).distinct().collect()
+                ]
             if not touched:
                 return {"skipped": True, "reason": "empty source"}
             tgt = t.read(spark, buckets=touched)
@@ -106,8 +117,14 @@ class MergeBuilder:
         tcols = t.schema().fieldNames()
         scols = set(src.columns)
 
-        tj = tgt.withColumn("_t_ex", F.lit(True)).alias("t")
-        sj = src.withColumn("_s_ex", F.lit(True)).alias("s")
+        # Force sort-merge for the upsert join: Catalyst's size estimate
+        # for a source that is itself a join output can be wildly low,
+        # making AQE broadcast a multi-hundred-MB side (measured: a
+        # 15s driver-side hash-relation build per epoch). Both sides of
+        # a CDC merge are large in steady state; SMJ is the right plan
+        # and AQE still handles skew within it.
+        tj = tgt.withColumn("_t_ex", F.lit(True)).hint("merge").alias("t")
+        sj = src.withColumn("_s_ex", F.lit(True)).hint("merge").alias("s")
         cond = None
         for k in self._keys:
             c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))

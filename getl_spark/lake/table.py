@@ -299,27 +299,36 @@ class LakeTable:
             else:
                 df.write.parquet(staging, mode="overwrite")
                 parts = sorted(glob.glob(os.path.join(staging, "*.parquet")))
-            entries = []
-            for i, p in enumerate(parts):
+            from concurrent.futures import ThreadPoolExecutor
+
+            def register(arg):
+                i, p = arg
                 bucket = None
                 d = os.path.basename(os.path.dirname(p))
                 if d.startswith("_bucket="):
                     bucket = int(d.split("=", 1)[1])
                 md = pq.ParquetFile(p).metadata
                 if md.num_rows == 0:
-                    continue
-                fname = f"snap-{tag}-{i:05d}" + (f"-b{bucket}" if bucket is not None else "") + ".parquet"
+                    return None
+                fname = (
+                    f"snap-{tag}-{i:05d}"
+                    + (f"-b{bucket}" if bucket is not None else "")
+                    + ".parquet"
+                )
                 dest = os.path.join(self._data_dir, fname)
                 os.replace(p, dest)
-                entries.append(
-                    {
-                        "path": os.path.join("data", fname),
-                        "bucket": bucket,
-                        "schema_id": self.current_schema_id,
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(dest),
-                    }
-                )
+                return {
+                    "path": os.path.join("data", fname),
+                    "bucket": bucket,
+                    "schema_id": self.current_schema_id,
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(dest),
+                }
+
+            # footer reads + renames parallelized: this is driver-side
+            # serial time otherwise (matters at many files per commit)
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                entries = [e for e in ex.map(register, enumerate(parts)) if e]
             return entries
         finally:
             shutil.rmtree(staging, ignore_errors=True)

@@ -77,6 +77,11 @@ class LineageRecorder:
     def record(self, spark: SparkSession, events: DataFrame, epoch: int, bucket_expr, latency_ms: int) -> pd.DataFrame:
         """Aggregate + persist lineage; returns the epoch's rows."""
         pdf = self.compute(events, epoch, bucket_expr, latency_ms)
+        self.write(pdf, epoch)
+        return pdf
+
+    def write(self, pdf: pd.DataFrame, epoch: int) -> pd.DataFrame:
+        """Persist precomputed lineage rows (idempotent per epoch)."""
         self.table.refresh()
         recorded = {int(s["summary"].get("epoch", -1)) for s in self.table.meta["snapshots"]}
         if int(epoch) in recorded:

@@ -86,18 +86,74 @@ class CDCPipeline:
     def apply_epoch(self, events: DataFrame, epoch: int, schema_changes: list | None = None) -> EpochResult:
         """Apply one micro-batch. ``events`` must be exactly the epoch's
         slice of the log (any op mix, duplicates fine)."""
+        import pandas as pd
+
         t0 = time.monotonic()
-        events = events.persist(StorageLevel.MEMORY_AND_DISK)
-        winners = None
+        per_key = None
         try:
             for change in schema_changes or []:
                 self._apply_schema_change(change)
 
-            # winners persisted: the merge needs them twice (touched-
-            # bucket discovery + the join itself) — one window, not two.
-            winners = lww_dedup(
-                events, self.keys, "seq", "commit", strategy=self.lww_strategy
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            spec = self.target.partition_spec
+            bucket_expr = spec.bucket_expr() if spec.kind == "bucket" else F.lit(0)
+
+            # ONE combined per-key aggregation pass over the raw slice
+            # yields the winner seq per key AND everything lineage
+            # needs (per-bucket count / seq range / bytes). The wide
+            # content rows are scanned exactly twice per epoch (this
+            # agg + the broadcast-join probe below) and NEVER cached:
+            # cache materialization was the measured non-scaling phase
+            # (allocation-bound), while pruned parquet scans + partial
+            # aggs scale with cores.
+            per_key = (
+                events.groupBy(bucket_expr.cast("int").alias("_pb"), *self.keys)
+                .agg(
+                    F.max("seq").alias("_wseq"),
+                    F.min("seq").alias("_mn"),
+                    F.count(F.lit(1)).alias("_n"),
+                    F.coalesce(F.sum(F.length("content")), F.lit(0)).alias("_by"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)  # tiny: one row per key
+            )
+            lin_rows = (
+                per_key.groupBy("_pb")
+                .agg(
+                    F.min("_mn").alias("seq_min"),
+                    F.max("_wseq").alias("seq_max"),
+                    F.sum("_n").alias("event_count"),
+                    F.sum("_by").alias("bytes"),
+                )
+                .collect()
+            )
+            lin = pd.DataFrame(
+                [
+                    {
+                        "epoch": int(epoch),
+                        "partition_id": int(r["_pb"]),
+                        "seq_min": int(r["seq_min"]),
+                        "seq_max": int(r["seq_max"]),
+                        "event_count": int(r["event_count"]),
+                        "bytes": int(r["bytes"]),
+                        "apply_latency_ms": 0,
+                    }
+                    for r in lin_rows
+                ],
+                columns=[f.name for f in self.lineage.table.schema().fields],
+            )
+            touched = [int(b) for b in lin["partition_id"]] if len(lin) else []
+
+            if self.lww_strategy == "broadcast":
+                # winner events = broadcast semi-join on the unique seq;
+                # the per-key agg above IS the winner-discovery pass
+                winners = events.join(
+                    F.broadcast(per_key.select(F.col("_wseq").alias("seq"))),
+                    "seq",
+                    "inner",
+                )
+            else:
+                winners = lww_dedup(
+                    events, self.keys, "seq", "commit", strategy=self.lww_strategy
+                )
             # Deletes become TOMBSTONES (_deleted=true) rather than
             # physical row removal, and every arm is guarded by
             # s._seq > t._seq: the per-key state is monotonic in seq,
@@ -112,20 +168,22 @@ class CDCPipeline:
                 .withColumn("_deleted", F.col("op") == "D")
             )
             src = self._align_source_columns(src)
-            res = (
+            mb = (
                 self.target.merge(src)
                 .on(self.keys)
                 .when_matched_update(condition="s._seq > t._seq")
                 .when_not_matched_insert()
                 .idempotency(self.name, epoch)
                 .with_summary({"engine": "getl_spark"})
-                .execute(self.spark)
             )
+            if spec.kind == "bucket":
+                mb = mb.touched_buckets(touched)
+            res = mb.execute(self.spark)
             latency_ms = int((time.monotonic() - t0) * 1000)
 
-            spec = self.target.partition_spec
-            bucket_expr = spec.bucket_expr() if spec.kind == "bucket" else F.lit(0)
-            lin = self.lineage.record(self.spark, events, epoch, bucket_expr, latency_ms)
+            if len(lin):
+                lin["apply_latency_ms"] = int(latency_ms)
+                self.lineage.write(lin, epoch)
             n_events = int(lin["event_count"].sum()) if len(lin) else 0
             max_seq = int(lin["seq_max"].max()) if len(lin) else None
             if max_seq is not None:
@@ -139,9 +197,8 @@ class CDCPipeline:
                 latency_ms=latency_ms,
             )
         finally:
-            events.unpersist()
-            if winners is not None:
-                winners.unpersist()
+            if per_key is not None:
+                per_key.unpersist()
 
     def _align_source_columns(self, src: DataFrame) -> DataFrame:
         """Map incoming event columns through the target's rename

@@ -37,6 +37,7 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    local_dir = local_dir or os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -49,7 +50,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # lz4, not zstd: zstd's JNI enters GCLocker critical sections
+        # that intermittently stall G1 at high in-JVM thread counts
+        # (measured: epoch latency 8s -> 25-54s spikes at local[32]);
+        # lz4 is stall-free. On a real multi-executor cluster zstd is
+        # fine (fewer threads per JVM) — override via extra_conf.
+        .config("spark.sql.parquet.compression.codec", os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

@@ -122,6 +122,63 @@ def read_json(
     return df
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType,
+) -> DataFrame:
+    """getl XMLDriver (/root/reference/src/main/groovy/getl/xml/XMLDriver.groovy):
+    rootNode-style extraction of repeated ``row_tag`` elements.
+
+    No spark-xml jar in this image, so files are read whole
+    (``wholetext``) and parsed per-partition with the stdlib
+    ElementTree inside mapInPandas — Arrow-batched, one parse per
+    file, never per-row Python/JVM hops. Fields are matched by child
+    tag name or attribute name against ``schema``.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    names = schema.fieldNames()
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["value"]:
+                root = ET.fromstring(content)
+                for el in root.iter(row_tag):
+                    row = {}
+                    for n in names:
+                        child = el.find(n)
+                        if child is not None:
+                            row[n] = child.text
+                        elif n in el.attrib:
+                            row[n] = el.attrib[n]
+                        else:
+                            row[n] = None
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=names)
+
+    raw = spark.read.format("text").option("wholetext", True).load(path)
+    str_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": "string", "nullable": True, "metadata": {}}
+                for n in names
+            ],
+        }
+    )
+    parsed = raw.mapInPandas(parse, str_schema)
+    return parsed.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 _MASK_VAR = re.compile(r"\{(\w+)\}")
 
 

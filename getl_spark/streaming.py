@@ -79,3 +79,61 @@ class StreamingTailer:
 
     def state(self):
         return self.pipeline.state()
+
+
+def stateful_repo_stats(
+    spark: SparkSession,
+    event_log_path: str,
+    checkpoint_dir: str,
+    output_path: str,
+) -> None:
+    """Custom stateful streaming operator: running per-repo counters
+    maintained across micro-batches via ``applyInPandasWithState``
+    (the north-star "custom stateful operators" surface; getl has no
+    streaming at all — its closest analog is the Flow row-accounting
+    counters, /root/reference/src/main/groovy/getl/data/Dataset.groovy:877-892).
+
+    State per repo: (events_seen, last_seq, bytes). Emits one row per
+    repo per micro-batch with the UPDATED running totals. Arrow-batched
+    — the per-group pandas frame is the whole group's batch slice,
+    never row-at-a-time.
+    """
+    import pandas as pd
+
+    from getl_spark.events import EVENT_SCHEMA_DDL
+
+    out_schema = "repo string, events_seen bigint, last_seq bigint, bytes bigint"
+    state_schema = "events_seen bigint, last_seq bigint, bytes bigint"
+
+    def update(key, pdfs, state):
+        repo = key[0]
+        n, last, by = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                last = max(last, int(pdf["seq"].max()))
+                by += int(pdf["content"].fillna("").str.len().sum())
+        state.update((n, last, by))
+        yield pd.DataFrame(
+            {"repo": [repo], "events_seen": [n], "last_seq": [last], "bytes": [by]}
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(parse_ddl(EVENT_SCHEMA_DDL))
+        .load(event_log_path)
+    )
+    updated = stream.groupBy("repo").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+    # parquet sinks don't accept update mode -> foreachBatch append
+    q = (
+        updated.writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(output_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

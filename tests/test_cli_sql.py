@@ -1,0 +1,63 @@
+"""spark-submit CLI entry (python -m getl_spark) and the spark.sql
+view surface over lake tables."""
+
+import json
+import os
+import subprocess
+import sys
+
+from getl_spark.events import generate_change_events
+from getl_spark.lake import LakeCatalog
+from getl_spark.pipeline import CDCPipeline
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_register_views_sql_surface(spark, tmp_warehouse):
+    ev = generate_change_events(spark, 1000, n_keys=100, n_repos=4, seed=51)
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    pipe.replay(ev, 1000)
+    cat = LakeCatalog(tmp_warehouse)
+    views = cat.register_views(spark)
+    assert {"target", "checkpoints", "lineage"} <= set(views)
+    n = spark.sql("SELECT count(*) AS n FROM target WHERE NOT _deleted").collect()[0]["n"]
+    assert n == pipe.state().count()
+    joined = spark.sql(
+        """SELECT l.epoch, sum(l.event_count) AS n, max(c.max_seq) AS wm
+           FROM lineage l JOIN checkpoints c USING (epoch)
+           GROUP BY l.epoch ORDER BY l.epoch"""
+    ).collect()
+    assert joined[0]["n"] == 1000 and joined[0]["wm"] == 1000
+
+
+def _run_cli(args, env_extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env.update(env_extra or {})
+    out = subprocess.run(
+        [sys.executable, "-m", "getl_spark", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_generate_tail_state(tmp_path):
+    log = str(tmp_path / "log")
+    wh = str(tmp_path / "wh")
+    g = _run_cli(["generate", "--out", log, "--events", "5000", "--seed", "3"])
+    assert g["generated"] == 5000
+    t = _run_cli(
+        ["tail", "--events", log, "--warehouse", wh, "--epoch-size", "2500", "--num-buckets", "8"]
+    )
+    assert t["epochs"] == 2 and t["events"] == 5000 and t["rows"] > 0
+    # resume: nothing to do
+    t2 = _run_cli(
+        ["tail", "--events", log, "--warehouse", wh, "--epoch-size", "2500", "--num-buckets", "8"]
+    )
+    assert t2["epochs"] == 0
