@@ -99,6 +99,23 @@ def main():
         )
         final_rows = pipe.target.count_rows()
 
+        # -- phase 2b: merge-on-read replay (O(epoch) appends + compaction)
+        t0 = time.monotonic()
+        pipe_mor = CDCPipeline(
+            spark, os.path.join(tmp, "wh_mor"), num_buckets=32, write_salt=2, merge_mode="mor"
+        )
+        mor_results = pipe_mor.replay(
+            read_event_log(spark, log_path), epoch_size=(n_events + n_epochs - 1) // n_epochs
+        )
+        pipe_mor.compact()
+        mor_sec = time.monotonic() - t0
+        timings["replay_mor"] = mor_sec
+        mor_steady = mor_results[1:]
+        mor_steady_sec = sum(r.latency_ms for r in mor_steady) / 1000.0
+        mor_eps_steady = (
+            sum(r.events for r in mor_steady) / mor_steady_sec if mor_steady_sec > 0 else 0.0
+        )
+
         # -- phase 3: analytical queries at sf_dir
         if mode == "full":
             qs = all_queries()
@@ -116,6 +133,8 @@ def main():
             "events": applied,
             "events_per_sec": round(events_per_sec, 1),
             "events_per_sec_steady": round(steady_eps, 1),
+            "events_per_sec_mor": round(applied / mor_sec, 1) if mor_sec > 0 else 0.0,
+            "events_per_sec_mor_steady": round(mor_eps_steady, 1),
             "epoch_latencies_ms": [r.latency_ms for r in results],
             "final_rows": final_rows,
             "cpus": cpus,

@@ -368,12 +368,17 @@ class LakeTable:
         files = [self._write_pandas_file(pdf)] if len(pdf) else []
         return self._commit_snapshot("overwrite", files, summary)
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> dict:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        properties_update: dict | None = None,
+    ) -> dict:
         new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
         files = self.current_files() + new
         s = {"added_files": len(new), "added_rows": sum(f["rows"] for f in new)}
         s.update(summary or {})
-        return self._commit_snapshot("append", files, s)
+        return self._commit_snapshot("append", files, s, properties_update)
 
     def overwrite_buckets(
         self,

@@ -26,6 +26,8 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -64,21 +66,41 @@ class CDCPipeline:
         write_salt: int = 1,
         target_table: str = "target",
         lww_strategy: str = "broadcast",
+        merge_mode: str = "cow",
     ):
+        """``merge_mode``:
+
+        - "cow" (copy-on-write): every epoch MERGEs into the target via
+          a bucket-pruned full-outer join and rewrites touched buckets.
+          Reads are plain scans. Best for read-heavy / low-churn.
+        - "mor" (merge-on-read): every epoch APPENDS the epoch's winner
+          rows as delta files — write cost is O(epoch), not O(table).
+          Reads resolve the LWW state (per-key max _seq + tombstone
+          filter); ``compact()`` folds deltas back to one row per key.
+          Best for high-churn ingest — the Iceberg-v2/Hudi-MOR shape.
+
+        Both modes keep the same exactly-once guard (epoch watermark
+        stamped in the same atomic commit) and identical final state.
+        """
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError("merge_mode must be 'cow' or 'mor'")
         self.spark = spark
         self.name = name
         self.keys = list(keys)
         # "broadcast" is safe because the event log guarantees unique
         # seq (FIXTURES §2) and falls back to "agg" over the cap anyway
         self.lww_strategy = lww_strategy
+        self.merge_mode = merge_mode
         self.catalog = LakeCatalog(warehouse)
         self.target: LakeTable = self.catalog.create_table(
             target_table,
             parse_ddl(TARGET_SCHEMA_DDL),
             PartitionSpec.bucket(num_buckets, "repo"),
-            properties={"write.salt": str(write_salt)},
+            properties={"write.salt": str(write_salt), "write.mode": merge_mode},
             if_not_exists=True,
         )
+        # an existing table's stored mode wins over the constructor arg
+        self.merge_mode = self.target.properties.get("write.mode", merge_mode)
         self.checkpoints = CheckpointManager(self.catalog, method=checkpoint_method)
         self.lineage = LineageRecorder(self.catalog)
 
@@ -86,8 +108,6 @@ class CDCPipeline:
     def apply_epoch(self, events: DataFrame, epoch: int, schema_changes: list | None = None) -> EpochResult:
         """Apply one micro-batch. ``events`` must be exactly the epoch's
         slice of the log (any op mix, duplicates fine)."""
-        import pandas as pd
-
         t0 = time.monotonic()
         per_key = None
         try:
@@ -168,17 +188,41 @@ class CDCPipeline:
                 .withColumn("_deleted", F.col("op") == "D")
             )
             src = self._align_source_columns(src)
-            mb = (
-                self.target.merge(src)
-                .on(self.keys)
-                .when_matched_update(condition="s._seq > t._seq")
-                .when_not_matched_insert()
-                .idempotency(self.name, epoch)
-                .with_summary({"engine": "getl_spark"})
-            )
-            if spec.kind == "bucket":
-                mb = mb.touched_buckets(touched)
-            res = mb.execute(self.spark)
+            if self.merge_mode == "mor":
+                # merge-on-read: append winner rows as delta files —
+                # O(epoch) write, no join against the target at all.
+                # Same idempotency guard, same atomic watermark stamp.
+                wm = self.target.properties.get(f"watermark.{self.name}")
+                if wm is not None and int(wm) >= int(epoch):
+                    res = {"skipped": True, "reason": f"epoch {epoch} <= watermark {wm}"}
+                elif not len(lin):
+                    res = {"skipped": True, "reason": "empty source"}
+                else:
+                    tcols = self.target.schema().fieldNames()
+                    delta = src.select(
+                        *[
+                            (F.col(c) if c in src.columns else F.lit(None)).alias(c)
+                            for c in tcols
+                        ]
+                    )
+                    snap = self.target.append(
+                        delta,
+                        {"engine": "getl_spark", "epoch": int(epoch), "pipeline": self.name, "mor_delta": True},
+                        {f"watermark.{self.name}": str(int(epoch))},
+                    )
+                    res = {"snapshot": snap, "stats": {}, "skipped": False}
+            else:
+                mb = (
+                    self.target.merge(src)
+                    .on(self.keys)
+                    .when_matched_update(condition="s._seq > t._seq")
+                    .when_not_matched_insert()
+                    .idempotency(self.name, epoch)
+                    .with_summary({"engine": "getl_spark"})
+                )
+                if spec.kind == "bucket":
+                    mb = mb.touched_buckets(touched)
+                res = mb.execute(self.spark)
             latency_ms = int((time.monotonic() - t0) * 1000)
 
             if len(lin):
@@ -262,12 +306,29 @@ class CDCPipeline:
 
     # ------------------------------------------------------------ reading
     def state(self, include_tombstones: bool = False) -> DataFrame:
-        """Live table state (tombstones filtered and marker dropped)."""
+        """Live table state (tombstones filtered and marker dropped).
+
+        In MOR mode the read resolves LWW first: one winner per key by
+        (_seq, tiebreak) over base + delta files."""
         self.target.refresh()
         df = self.target.read(self.spark)
+        if self.merge_mode == "mor":
+            tiebreak = next(
+                (c for c in ("commit", "_epoch") if c in df.columns), self.keys[0]
+            )
+            df = lww_dedup(df, self.keys, "_seq", tiebreak, strategy="agg")
         if include_tombstones:
             return df
         return df.filter(~F.col("_deleted")).drop("_deleted")
+
+    def compact(self) -> dict:
+        """MOR maintenance: fold all delta files into one resolved row
+        per key (tombstones retained; purge them separately). A no-op
+        for CoW tables."""
+        if self.merge_mode != "mor":
+            return self.target.compact(self.spark)
+        resolved = self.state(include_tombstones=True)
+        return self.target.overwrite_all(resolved, {"mor_compaction": True})
 
     def purge_tombstones(self, older_than_seq: int) -> dict:
         """Maintenance: physically drop tombstones whose seq is below a

@@ -102,6 +102,8 @@ spark.stop()
         t_lo, t_hi = lo["queries"]["replay"], hi["queries"]["replay"]
         s_lo = lo.get("events_per_sec_steady", lo["events_per_sec"])
         s_hi = hi.get("events_per_sec_steady", hi["events_per_sec"])
+        m_lo = lo.get("events_per_sec_mor_steady", 0)
+        m_hi = hi.get("events_per_sec_mor_steady", 0)
         print(
             json.dumps(
                 {
@@ -114,9 +116,12 @@ spark.stop()
                     f"events_per_sec_local[{4*n}]": hi["events_per_sec"],
                     f"steady_eps_local[{n}]": s_lo,
                     f"steady_eps_local[{4*n}]": s_hi,
+                    f"mor_steady_eps_local[{n}]": m_lo,
+                    f"mor_steady_eps_local[{4*n}]": m_hi,
                     "speedup_wall": round(t_lo / t_hi, 3),
                     "scaling_efficiency_wall": round((t_lo / t_hi) / 4.0, 3),
                     "scaling_efficiency_steady": round((s_hi / s_lo) / 4.0, 3),
+                    "scaling_efficiency_mor_steady": round((m_hi / m_lo) / 4.0, 3) if m_lo else None,
                 }
             )
         )
