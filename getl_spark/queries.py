@@ -33,9 +33,18 @@ def _dec(col, p=18, s=2):
     return col.cast(f"decimal({p},{s})")
 
 
-def _avg_exact(sum_dec, count_col, s=6):
-    """Exact-decimal sum -> double -> decimal(18,s): identical in both engines."""
-    return (sum_dec.cast("double") / count_col).cast(f"decimal(18,{s})")
+def _dbl(col):
+    """Final-output cast: DECIMAL math stays internal (exact,
+    order-independent), but the *surfaced* column is DOUBLE so Spark's
+    toPandas and DuckDB's .df() hand pandas bit-identical float64s.
+    (Decimal keeps trailing zeros — '225631.00' vs '225631.0' — which
+    fails the driver's value hash even when numerically equal.)"""
+    return col.cast("double")
+
+
+def _avg_exact(sum_dec, count_col):
+    """Exact-decimal sum -> double / count: identical IEEE op in both engines."""
+    return sum_dec.cast("double") / count_col
 
 
 # --------------------------------------------------------------------------
@@ -53,10 +62,10 @@ def q_tpch_q1(spark, sf_dir):
     charge = disc_price * (1 + F.col("l_tax"))
     cnt = F.count(F.lit(1))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        _dec(sum_qty, 18, 2).alias("sum_qty"),
-        _dec(sum_base, 18, 2).alias("sum_base_price"),
-        F.sum(_dec(disc_price, 18, 6)).cast("decimal(18,6)").alias("sum_disc_price"),
-        F.sum(_dec(charge, 18, 6)).cast("decimal(18,6)").alias("sum_charge"),
+        _dbl(sum_qty).alias("sum_qty"),
+        _dbl(sum_base).alias("sum_base_price"),
+        _dbl(F.sum(_dec(disc_price, 18, 6))).alias("sum_disc_price"),
+        _dbl(F.sum(_dec(charge, 18, 6))).alias("sum_charge"),
         _avg_exact(F.sum(_dec(F.col("l_quantity"))), cnt).alias("avg_qty"),
         _avg_exact(F.sum(_dec(F.col("l_extendedprice"))), cnt).alias("avg_price"),
         _avg_exact(F.sum(_dec(F.col("l_discount"), 18, 4)), cnt).alias("avg_disc"),
@@ -66,13 +75,13 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_price,
-  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -88,9 +97,7 @@ def q_shipping_priority(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    rev = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)).cast(
-        "decimal(18,6)"
-    )
+    rev = _dbl(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)))
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -102,7 +109,7 @@ def q_shipping_priority(spark, sf_dir):
 
 SQL_SHIPPING_PRIORITY = """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -124,7 +131,7 @@ def q_segment_revenue(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _dec(F.sum(_dec(F.col("o_totalprice"))), 18, 2).alias("revenue"),
+            _dbl(F.sum(_dec(F.col("o_totalprice")))).alias("revenue"),
         )
     )
 
@@ -132,7 +139,7 @@ def q_segment_revenue(spark, sf_dir):
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -144,17 +151,15 @@ def q_agg_filtered(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        _dec(F.sum(_dec(F.col("l_quantity"))), 18, 2).alias("sum_qty"),
+        _dbl(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        _dec(
+        _dbl(
             F.sum(
                 F.when(F.col("l_discount") > 0.05, _dec(F.col("l_quantity"))).otherwise(
                     _dec(F.lit(0))
                 )
-            ),
-            18,
-            2,
+            )
         ).alias("disc_qty"),
     )
 
@@ -162,11 +167,11 @@ def q_agg_filtered(spark, sf_dir):
 SQL_AGG_FILTERED = """
 SELECT l_returnflag,
   COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   MIN(l_extendedprice) AS min_price,
   MAX(l_extendedprice) AS max_price,
   CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2))
-                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS disc_qty
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -176,7 +181,7 @@ def q_agg_global(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return l.agg(
         F.count(F.lit(1)).alias("n"),
-        _dec(F.sum(_dec(F.col("l_quantity"))), 18, 2).alias("sum_qty"),
+        _dbl(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
         F.countDistinct("l_partkey").alias("n_parts"),
         _avg_exact(F.sum(_dec(F.col("l_extendedprice"))), F.count(F.lit(1))).alias("avg_price"),
     )
@@ -184,9 +189,9 @@ def q_agg_global(spark, sf_dir):
 
 SQL_AGG_GLOBAL = """
 SELECT COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   COUNT(DISTINCT l_partkey) AS n_parts,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS DECIMAL(18,6)) AS avg_price
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price
 FROM lineitem
 """
 
@@ -261,13 +266,13 @@ def q_rollup(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        _dec(F.sum(_dec(F.col("l_quantity"))), 18, 2).alias("sum_qty"),
+        _dbl(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
     )
 
 
 SQL_ROLLUP = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -300,7 +305,7 @@ def q_type_convert(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
         F.year("o_orderdate").cast("int").alias("yr"),
         F.month("o_orderdate").cast("int").alias("mo"),
@@ -310,7 +315,7 @@ def q_type_convert(spark, sf_dir):
 
 SQL_TYPE_CONVERT = """
 SELECT o_orderkey,
-  CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
   strftime(o_orderdate, '%Y-%m-%d') AS od,
   CAST(year(o_orderdate) AS INTEGER) AS yr,
   CAST(month(o_orderdate) AS INTEGER) AS mo,
@@ -452,13 +457,13 @@ def q_cdc_incremental_range(spark, sf_dir):
     )
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec(F.col("value"), 18, 6)).cast("decimal(18,6)").alias("sum_value"),
+        _dbl(F.sum(_dec(F.col("value"), 18, 6))).alias("sum_value"),
     )
 
 
 SQL_CDC_INCREMENTAL_RANGE = """
 SELECT event_type, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events WHERE event_id > 300 AND event_id <= 700
 GROUP BY event_type
 """
@@ -491,14 +496,14 @@ def q_window_running(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        F.sum(_dec(F.col("value"), 18, 6)).over(w).cast("decimal(18,6)").alias("run_sum"),
+        _dbl(F.sum(_dec(F.col("value"), 18, 6)).over(w)).alias("run_sum"),
     )
 
 
 SQL_WINDOW_RUNNING = """
 SELECT user_id, event_id,
   CAST(SUM(CAST(value AS DECIMAL(18,6)))
-       OVER (PARTITION BY user_id ORDER BY event_id) AS DECIMAL(18,6)) AS run_sum
+       OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS run_sum
 FROM events WHERE user_id < 20
 """
 

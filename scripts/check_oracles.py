@@ -10,7 +10,6 @@ values. Usage:
 from __future__ import annotations
 
 import sys
-from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -35,15 +34,18 @@ TABLES = [
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalization: sort columns by name, stringify
+    values EXACTLY as they arrive (no rounding/smoothing — the driver
+    hashes raw stringified values, so Decimal('1.40') != 1.4 here too),
+    then sort rows. Round-1 lesson: a lenient canon() hid 8 driver
+    hash failures; this one must reproduce the driver verdict."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def norm(v):
-        if isinstance(v, Decimal):
-            return f"{v:.6f}" if v == v.to_integral_value() or True else str(v)
-        if isinstance(v, float):
-            return f"{v:.6f}"
         if v is None or v != v:
             return "<null>"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return str(list(v))
         return str(v)
 
     out = df.map(norm)
