@@ -16,10 +16,16 @@ No Python UDFs anywhere — signatures are higher-order array exprs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from getl_spark.functions.text import char_shingles, fingerprint_sha256, tokens, word_shingles
+from getl_spark.functions.text import (
+    char_shingles,
+    fingerprint_sha256,
+    sha_hash60,
+    tokens,
+    word_shingles,
+)
 
 # ---------------------------------------------------------------- exact
 
@@ -47,12 +53,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # -------------------------------------------------------------- minhash
 
 
-def minhash_signature(shingles_col, num_hashes: int = 64):
-    """K minhashes: min over shingles of xxhash64(shingle, salt_i).
-    Returns array<bigint> of length num_hashes."""
+def minhash_signature(shingles_col, num_hashes: int = 64, hash_fn: str = "xxhash64"):
+    """K minhashes: min over shingles of hash(shingle, salt_i).
+    Returns array<bigint> of length num_hashes.
+
+    hash_fn: 'xxhash64' (fast path — one JVM hash per shingle per K) or
+    'sha256' (cross-engine: sha_hash60 of 'i:<shingle>', bit-identical
+    in DuckDB so the driver can oracle-check the full LSH pipeline).
+    """
+    if hash_fn == "xxhash64":
+        def h(s, i):
+            return F.xxhash64(s, F.lit(i))
+    elif hash_fn == "sha256":
+        def h(s, i):
+            return sha_hash60(s, prefix=str(i))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return F.array(
         *[
-            F.array_min(F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(shingles_col, lambda s, i=i: h(s, i)))
             for i in range(num_hashes)
         ]
     )
@@ -64,10 +83,31 @@ def with_minhash(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_words: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     sh = word_shingles(F.col(text_col), shingle_words)
     return df.select(id_col, text_col).withColumn(
-        "minhash", minhash_signature(sh, num_hashes)
+        "minhash", minhash_signature(sh, num_hashes, hash_fn)
+    )
+
+
+def _cap_buckets(banded: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
+    """LSH hygiene: drop buckets with more than ``max_bucket`` members.
+
+    A degenerate bucket of b docs emits b^2/2 candidate pairs — one
+    boilerplate/empty-doc cluster at corpus scale goes quadratic and
+    OOMs the join stage. Oversized buckets are almost always exact
+    duplicates (handled by exact_dedup first) or low-signal boilerplate;
+    standard practice (e.g. BigCode/RefinedWeb dedup) drops them. The
+    window count shuffles on the same key as the self-join, so AQE
+    reuses the exchange — the cap costs no extra shuffle round."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*key_cols)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
     )
 
 
@@ -78,6 +118,8 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a_id < b_id) via banded LSH.
 
@@ -85,31 +127,34 @@ def lsh_candidate_pairs(
     self-equi-join on the bucket -> distinct pairs. The join key is
     (band_id, band_hash): only same-bucket docs ever meet, so the
     shuffle is proportional to corpus size, not its square.
+    ``max_bucket`` drops degenerate buckets (see _cap_buckets).
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, text_col, id_col, num_hashes, shingle_words)
+    sig = with_minhash(df, text_col, id_col, num_hashes, shingle_words, hash_fn)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
+        )
+        # sha256 mode keeps the raw joined string so DuckDB can build
+        # the identical key; xxhash64 mode compresses it to 8 bytes.
+        return joined if hash_fn == "sha256" else F.xxhash64(joined)
+
     banded = sig.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("minhash")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
+                        F.lit(b).alias("band_id"), band_key(b).alias("band_hash")
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -157,10 +202,16 @@ def near_dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates -> Jaccard verify -> drop the
-    higher id of each confirmed pair (greedy, deterministic)."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands)
+    higher id of each confirmed pair (pairwise, deterministic; NOT
+    transitive-closure clustering — a doc survives iff no verified
+    pair links it to a lower id)."""
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, hash_fn=hash_fn, max_bucket=max_bucket
+    )
     dups = (
         jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
         .select(F.col("b_id").alias(id_col))
@@ -172,18 +223,18 @@ def near_dedup_minhash(
 # -------------------------------------------------------------- simhash
 
 
-def simhash64(text_col) -> "F.Column":
-    """63-bit SimHash: sign of per-bit sum over token hashes.
+def _simhash(text_col, n_bits: int, token_hash) -> "F.Column":
+    """SimHash core: sign of per-bit sum over token hashes.
 
-    For each bit i: +1 if bit set in xxhash64(token) else -1; the
+    For each bit i: +1 if bit set in hash(token) else -1; the
     signature bit is 1 if the sum > 0. Pure aggregate/transform exprs.
+    The horner fold stays inside signed-long range (Spark 4 ANSI mode
+    raises on overflow), so n_bits <= 62.
     """
     toks = F.array_distinct(tokens(F.lower(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # 63 bits, not 64: the horner fold must stay inside signed-long
-    # range (Spark 4 ANSI mode raises on overflow).
+    hashes = F.transform(toks, token_hash)
     bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(62)),
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda i: F.aggregate(
             hashes,
             F.lit(0).cast("long"),
@@ -200,13 +251,37 @@ def simhash64(text_col) -> "F.Column":
     )
 
 
+def simhash64(text_col) -> "F.Column":
+    """63-bit SimHash on xxhash64 token hashes — the fast path."""
+    return _simhash(text_col, 63, lambda t: F.xxhash64(t))
+
+
+def simhash60(text_col) -> "F.Column":
+    """60-bit SimHash on sha_hash60 token hashes — cross-engine
+    (DuckDB computes identical signatures), used by the oracle-checked
+    driver query."""
+    return _simhash(text_col, 60, lambda t: sha_hash60(t))
+
+
 def simhash_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs whose SimHash matches on any 16-bit
-    band (Hamming-distance bucketing)."""
-    sig = df.select(id_col, simhash64(F.col(text_col)).alias("simhash"))
-    bands = 64 // band_bits
+    """Candidate near-dup pairs whose SimHash matches on any band
+    (Hamming-distance bucketing). ``max_bucket`` drops degenerate
+    buckets (see _cap_buckets)."""
+    if hash_fn == "sha256":
+        total_bits, band_bits = 60, min(band_bits, 15)
+        sig_col = simhash60(F.col(text_col))
+    else:
+        total_bits = 64
+        sig_col = simhash64(F.col(text_col))
+    sig = df.select(id_col, sig_col.alias("simhash"))
+    bands = total_bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(
         id_col,
@@ -224,6 +299,7 @@ def simhash_duplicates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
+    banded = _cap_buckets(banded, ["band_id", "band_val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

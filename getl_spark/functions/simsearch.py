@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,26 +69,43 @@ def cosine_topk(
     )
 
 
-def _hyperplane_bits(vec_col, dim: int, n_bits: int, seed: int = 99):
-    """Sign bits of `n_bits` pseudo-random projections. The projection
-    matrix entries are deterministic xxhash64-derived values in
-    [-0.5, 0.5) — reproducible on any cluster with no side state."""
-    def proj(b):
-        weighted = F.zip_with(
-            vec_col,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda v, i: v
-            * (
-                F.pmod(F.xxhash64(i, F.lit(b), F.lit(seed)), F.lit(1000)) / 1000.0
-                - 0.5
-            ),
-        )
-        return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+def int_hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[int]]:
+    """Deterministic integer hyperplane matrix (entries in [-500, 500]),
+    derived from sha256 — reproducible on any cluster with no side
+    state, and expressible as literal arrays in an ANSI-SQL oracle."""
+    planes = []
+    for b in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.sha256(f"{seed}:{b}:{i}".encode()).digest()[:8], "big"
+            )
+            row.append(h % 1001 - 500)
+        planes.append(row)
+    return planes
 
-    bits = [F.when(proj(b) >= 0, F.lit(1)).otherwise(F.lit(0)) for b in range(n_bits)]
+
+def quantize_vec(vec_col):
+    """floor(v * 1024) as bigint: an exact integer grid. 1024 is a
+    power of two, so the scaling never rounds the mantissa — any engine
+    computing floor(double * 1024) lands on the identical integer, and
+    every downstream dot product is exact integer arithmetic
+    (order-independent, no float-summation drift)."""
+    return F.transform(vec_col, lambda v: F.floor(v * F.lit(1024.0)).cast("long"))
+
+
+def _bucket_col(vec_col, planes: list[list[int]]):
+    """LSH bucket id: bit b = sign of <quantized vec, integer plane b>."""
+    q = quantize_vec(vec_col)
     out = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        out = out + (bit.cast("long") * F.lit(1 << i))
+    for bi, row in enumerate(planes):
+        lit_row = F.array(*[F.lit(w).cast("long") for w in row])
+        dot = F.aggregate(
+            F.zip_with(q, lit_row, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(dot >= 0, F.lit(1 << bi)).otherwise(F.lit(0)).cast("long")
     return out
 
 
@@ -99,51 +118,62 @@ def lsh_topk(
     dim: int | None = None,
     n_bits: int = 8,
     n_tables: int = 4,
+    seed: int = 99,
 ) -> DataFrame:
     """Approximate top-k: candidates from any of ``n_tables``
     random-hyperplane hash tables, exact cosine re-rank on candidates.
 
     Recall/cost dial: more tables -> higher recall, more candidates.
+    ``dim`` is required: inferring it would be a hidden driver-side
+    collect on the corpus.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim explicitly (inferring it would collect from the corpus)"
+        )
 
     def bucketed(df, prefix):
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            _hyperplane_bits(F.col(vec_col), dim, n_bits, seed=99 + t).alias(
-                                "bucket"
-                            ),
+                            _bucket_col(
+                                F.col(vec_col), int_hyperplanes(dim, n_bits, seed + t)
+                            ).alias("bucket"),
                         )
                         for t in range(n_tables)
                     ]
                 )
             ).alias("h"),
-        ).select(f"{prefix}_id", f"{prefix}_vec", "h.tbl", "h.bucket")
+        ).select(f"{prefix}_id", "h.tbl", "h.bucket")
 
+    # ids-only through the bucket join + distinct (wide vectors never
+    # shuffle); vectors re-attached afterwards, query side broadcast.
     qb = F.broadcast(bucketed(queries, "q"))
     cb = bucketed(corpus, "c")
-    cands = (
+    cand_ids = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "q_vec",
-            "c_vec",
+            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id")
         )
         .distinct()
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("score"),
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand_ids.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

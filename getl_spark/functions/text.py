@@ -97,6 +97,17 @@ def fingerprint_sha256(col) -> Column:
     return F.sha2(normalize_for_fingerprint(col), 256)
 
 
+def sha_hash60(col, prefix: str | None = None) -> Column:
+    """Cross-engine 60-bit hash: first 15 hex chars of sha256 as a
+    positive bigint. DuckDB computes the identical value via
+    ``CAST('0x' || substr(sha256(x),1,15) AS BIGINT)``, which makes
+    sketch operators (MinHash/SimHash) oracle-checkable; xxhash64
+    stays the fast path for pipeline use. 60 bits keeps the value
+    inside signed-long range (ANSI-safe) with headroom for shifts."""
+    s = F.concat(F.lit(f"{prefix}:"), col) if prefix is not None else col
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+
 def rolling_hashes(col, k: int = 8) -> Column:
     """k-gram rolling fingerprints: xxhash64 of each k-char window of
     the normalized text (winnowing-style document fingerprinting).

@@ -12,9 +12,10 @@ SURVEY §2. Numeric discipline for bit-identical cross-engine results:
   with an id tiebreak, so top-k cuts are deterministic in both engines;
 - timestamps surfaced as epoch seconds or formatted strings, never raw.
 
-Keys marked in NO_ORACLE are genuinely non-SQL-expressible (xxhash64-
-seeded MinHash/SimHash/LSH operators) — the driver records rows-only
-checks for them; their exactness is covered by pytest instead.
+Sketch operators (MinHash/SimHash/ANN-LSH) run query-facing on the
+cross-engine sha_hash60 hash and integer-quantized hyperplanes, so the
+oracle computes bit-identical signatures (xxhash64 remains the library
+fast path for pipelines).
 """
 
 from __future__ import annotations
@@ -661,26 +662,46 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# Non-SQL-expressible (xxhash64-seeded sketches) — rows-only checks;
-# exactness covered in tests/test_functions.py
+# Sketch operators (MinHash-LSH / SimHash / hyperplane-LSH ANN).
+#
+# The query-facing variants run on the cross-engine sha_hash60 hash
+# (first 15 hex chars of sha256 as bigint) and integer-quantized
+# hyperplanes, so DuckDB computes bit-identical signatures and the
+# driver gets full rows+schema+hash oracles; xxhash64 stays the
+# library fast path. Oracle SQL is generated to mirror the exact
+# parameters (K, bands, caps, seeds).
 # --------------------------------------------------------------------------
+
+_MH_HASHES, _MH_BANDS, _MH_CAP = 32, 8, 100
+_ND_THRESHOLD = 0.6
+_SH_CAP = 100
+_ANN_DIM, _ANN_K, _ANN_BITS, _ANN_TABLES, _ANN_SEED = 64, 5, 6, 4, 99
+
+_H60_SQL = "CAST('0x' || substr(sha256({x}),1,15) AS BIGINT)"
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedupe.lsh_candidate_pairs(d, num_hashes=32, bands=8)
+    return dedupe.lsh_candidate_pairs(
+        d, num_hashes=_MH_HASHES, bands=_MH_BANDS, hash_fn="sha256", max_bucket=_MH_CAP
+    )
 
 
 def q_near_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedupe.near_dedup_minhash(d, num_hashes=32, bands=8, threshold=0.6).select(
-        "doc_id", "lang", "source"
-    )
+    return dedupe.near_dedup_minhash(
+        d,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=_ND_THRESHOLD,
+        hash_fn="sha256",
+        max_bucket=_MH_CAP,
+    ).select("doc_id", "lang", "source")
 
 
 def q_simhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedupe.simhash_duplicates(d)
+    return dedupe.simhash_duplicates(d, hash_fn="sha256", max_bucket=_SH_CAP)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -688,7 +709,160 @@ def q_ann_lsh_topk(spark, sf_dir):
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return simsearch.lsh_topk(emb, queries, k=5, n_bits=6, n_tables=4)
+    return simsearch.lsh_topk(
+        emb,
+        queries,
+        k=_ANN_K,
+        dim=_ANN_DIM,
+        n_bits=_ANN_BITS,
+        n_tables=_ANN_TABLES,
+        seed=_ANN_SEED,
+    )
+
+
+def _sql_minhash_core(num_hashes: int, bands: int, cap: int) -> str:
+    """Shared CTE chain: documents -> shingles -> signature -> capped
+    band buckets -> candidate pairs. Mirrors word_shingles (3-word,
+    distinct, on lower/trim/ws-collapsed text) and minhash_signature
+    (sha256 mode) exactly."""
+    rows = num_hashes // bands
+    mh_exprs = ",\n    ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _H60_SQL.format(x=f"'{i}:' || s")
+        + f")) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(norm, '\s+') AS w FROM docs
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles FROM toks
+), sig AS (
+  SELECT doc_id,
+    {mh_exprs}
+  FROM sh
+), banded AS (
+  {band_selects}
+), capped AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM banded
+  ) WHERE bsz <= {cap}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM capped a JOIN capped b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+SQL_MINHASH_LSH_PAIRS = (
+    _sql_minhash_core(_MH_HASHES, _MH_BANDS, _MH_CAP) + "\nSELECT a_id, b_id FROM pairs"
+)
+
+
+SQL_NEAR_DEDUP = (
+    _sql_minhash_core(_MH_HASHES, _MH_BANDS, _MH_CAP)
+    + f"""
+, verified AS (
+  SELECT p.b_id FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a_id
+  JOIN sh sb ON sb.doc_id = p.b_id
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= {_ND_THRESHOLD}
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT b_id FROM verified)
+"""
+)
+
+
+def _sql_simhash_pairs(cap: int) -> str:
+    """Mirrors simhash60 (sha_hash60 token hashes, 60-bit signature,
+    4 x 15-bit bands) exactly."""
+    bit_terms = "\n      + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(60)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_id, (simhash >> {b * 15}) & 32767 AS band_val FROM sig"
+        for b in range(4)
+    )
+    h60_tok = _H60_SQL.format(x="t")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), hashes AS (
+  SELECT doc_id, list_transform(w, t -> {h60_tok}) AS hs FROM toks
+), sig AS (
+  SELECT doc_id, ({bit_terms}) AS simhash FROM hashes
+), banded AS (
+  {band_selects}
+), capped AS (
+  SELECT doc_id, band_id, band_val FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bsz FROM banded
+  ) WHERE bsz <= {cap}
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM capped a JOIN capped b USING (band_id, band_val)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs(_SH_CAP)
+
+
+def _sql_ann_lsh_topk() -> str:
+    """Mirrors lsh_topk: floor(v*1024) integer grid (exact in float64,
+    so dot-product sign is order-independent and engine-independent),
+    int_hyperplanes literals, bucket join, cosine re-rank."""
+    band_selects = []
+    for t in range(_ANN_TABLES):
+        planes = simsearch.int_hyperplanes(_ANN_DIM, _ANN_BITS, _ANN_SEED + t)
+        bits = "\n    + ".join(
+            "CASE WHEN list_dot_product(iq, ["
+            + ", ".join(f"{w}.0" for w in row)
+            + f"]::DOUBLE[]) >= 0 THEN {1 << bi} ELSE 0 END"
+            for bi, row in enumerate(planes)
+        )
+        band_selects.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM qi")
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), qi AS (
+  SELECT vec_id, list_transform(e, v -> floor(v * 1024.0)) AS iq FROM emb
+), banded AS (
+  {banded}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c USING (tbl, bucket)
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_cosine_similarity(qe.e, ce.e), 4) AS score
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.query_id
+  JOIN emb ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_ANN_K}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
 # --------------------------------------------------------------------------
@@ -759,6 +933,8 @@ def all_oracles():
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
-        # minhash_lsh_pairs / near_dedup / simhash_pairs / ann_lsh_topk:
-        # xxhash64-seeded — no SQL oracle (rows-only check)
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "near_dedup": SQL_NEAR_DEDUP,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     }

@@ -143,7 +143,45 @@ def test_lsh_topk_recall_on_exact_match(spark):
     rows = [(i, base[i]) for i in range(50)] + [(100, base[0])]
     vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     approx = simsearch.lsh_topk(
-        vecs, vecs.filter("vec_id = 0"), k=3, n_bits=4, n_tables=6
+        vecs, vecs.filter("vec_id = 0"), k=3, dim=16, n_bits=4, n_tables=6
     )
     neighbors = [r.neighbor_id for r in approx.collect()]
     assert 100 in neighbors, "identical vector must share every hash bucket"
+    with pytest.raises(ValueError, match="dim"):
+        simsearch.lsh_topk(vecs, vecs.filter("vec_id = 0"), k=3)
+
+
+def test_sha256_hash_mode_matches_duckdb_semantics(spark, docs):
+    """sha_hash60 pipeline smoke: sha mode finds the same structural
+    duplicates as xxhash64 mode on the fixture corpus."""
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedupe.lsh_candidate_pairs(
+            docs.filter("doc_id <> 6"), num_hashes=32, bands=16, hash_fn="sha256"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    sig = docs.filter("doc_id IN (1,2,4)").select(
+        "doc_id", dedupe.simhash60(F.col("text")).alias("s")
+    ).collect()
+    by = {r.doc_id: r.s for r in sig}
+    assert by[1] == by[2] and by[1] != by[4]
+    assert all(0 <= v < (1 << 60) for v in by.values())
+
+
+def test_lsh_bucket_cap_bounds_pathological_corpus(spark):
+    """All-identical corpus: one bucket of n docs would emit n^2/2
+    pairs; the cap drops it entirely (standard LSH hygiene — exact
+    dups belong to exact_dedup)."""
+    n = 40
+    rows = [(i, "the same boilerplate text repeated all over") for i in range(n)]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = dedupe.lsh_candidate_pairs(corpus, num_hashes=16, bands=4)
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = dedupe.lsh_candidate_pairs(corpus, num_hashes=16, bands=4, max_bucket=10)
+    assert capped.count() == 0
+    capped_sim = dedupe.simhash_duplicates(corpus, max_bucket=10)
+    assert capped_sim.count() == 0
+    # a cap above the bucket size changes nothing
+    loose = dedupe.lsh_candidate_pairs(corpus, num_hashes=16, bands=4, max_bucket=n)
+    assert loose.count() == n * (n - 1) // 2
