@@ -156,9 +156,22 @@ class MergeBuilder:
                 return F.col(f"s.{c}")
             return F.lit(None).cast(t.schema()[c].dataType)
 
+        def upd_value(c: str):
+            """Delta/Iceberg semantics: with a set map, only the named
+            columns change — everything else RETAINS the target value
+            (a partial update must not clobber unmentioned columns with
+            source values or NULLs). Without a set map it's a full-row
+            update from the source."""
+            if upd_set is None:
+                return src_value(c, None)
+            if c in upd_set:
+                v = upd_set[c]
+                return F.expr(v) if isinstance(v, str) else v
+            return F.col(f"t.{c}")
+
         out_cols = []
         for c in tcols:
-            upd_v = src_value(c, upd_set)
+            upd_v = upd_value(c)
             ins_v = src_value(c, ins_vals)
             out_cols.append(
                 F.when(upd_hit, upd_v)

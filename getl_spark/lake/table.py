@@ -214,15 +214,43 @@ class LakeTable:
 
     # ------------------------------------------------------------ committing
     def _try_commit(self, new_meta: dict) -> bool:
-        """Claim the next metadata version; False if a concurrent writer won."""
+        """Claim the next metadata version; False if a concurrent writer won.
+
+        Crash-safe claim protocol: the candidate metadata is written
+        COMPLETELY to a temp file (fsync'd), then the version slot is
+        claimed with os.link — atomic, and the claimed file can never
+        be partial. If the slot is already claimed but VERSION still
+        points below it, the claimant either crashed between link and
+        the VERSION bump (orphan — the table would otherwise be
+        permanently unwritable) or is about to bump it; completing the
+        bump ourselves is safe and idempotent in both cases because
+        every writer writes the identical VERSION content.
+        """
         next_v = self.version + 1
         path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
+        vfile = os.path.join(self._meta_dir, "VERSION")
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            with open(path, "x") as f:
-                json.dump(new_meta, f)
+            os.link(tmp, path)
         except FileExistsError:
+            try:
+                with open(vfile) as f:
+                    current = int(f.read().strip())
+            except (OSError, ValueError):
+                current = next_v
+            if current < next_v:
+                _atomic_write(vfile, str(next_v))  # adopt the orphan commit
             return False
-        _atomic_write(os.path.join(self._meta_dir, "VERSION"), str(next_v))
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        _atomic_write(vfile, str(next_v))
         self.meta, self.version = new_meta, next_v
         return True
 
@@ -447,6 +475,21 @@ class LakeTable:
             self.refresh()
             new_meta = json.loads(json.dumps(self.meta))
             new_meta["properties"].update(props)
+
+    def transform_properties(self, fn, max_retries: int = 50) -> dict:
+        """CAS property update: ``fn(current_properties) -> updates``
+        is re-evaluated against freshly-read properties on every commit
+        conflict, so read-modify-write reservations (sequence blocks,
+        counters) never apply a stale absolute value twice. Returns the
+        updates that actually committed."""
+        for _ in range(max_retries):
+            self.refresh()
+            updates = fn(dict(self.meta["properties"]))
+            new_meta = json.loads(json.dumps(self.meta))
+            new_meta["properties"].update(updates)
+            if self._try_commit(new_meta):
+                return updates
+        raise CommitConflict(f"transform_properties gave up after {max_retries} retries")
 
     # ----------------------------------------------------------------- read
     def read(

@@ -198,11 +198,20 @@ class CDCPipeline:
                 elif not len(lin):
                     res = {"skipped": True, "reason": "empty source"}
                 else:
-                    tcols = self.target.schema().fieldNames()
+                    # cast every column to the target type (mirrors the
+                    # CoW merge arm): after add_column the missing-column
+                    # fill must be a TYPED null (F.lit(None) is void and
+                    # breaks the parquet write), and after widen_column
+                    # the delta file is recorded at the current
+                    # schema_id so its physical types must match it.
                     delta = src.select(
                         *[
-                            (F.col(c) if c in src.columns else F.lit(None)).alias(c)
-                            for c in tcols
+                            (
+                                F.col(f.name) if f.name in src.columns else F.lit(None)
+                            )
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in self.target.schema().fields
                         ]
                     )
                     snap = self.target.append(
@@ -333,7 +342,17 @@ class CDCPipeline:
     def purge_tombstones(self, older_than_seq: int) -> dict:
         """Maintenance: physically drop tombstones whose seq is below a
         safety horizon (no in-flight batch can still carry lower seqs).
-        The streaming analog of Iceberg's delete-file compaction."""
+        The streaming analog of Iceberg's delete-file compaction.
+
+        MOR mode compacts first — mandatory for correctness, not just
+        hygiene: uncompacted delta files can still hold a stale
+        non-tombstone row for the same key at a lower _seq, and
+        physically deleting the tombstone would make that stale row the
+        LWW winner on read, resurrecting a deleted key. After
+        compact() exactly one resolved row per key exists, so dropping
+        a tombstone can no longer change any other row's outcome."""
+        if self.merge_mode == "mor":
+            self.compact()
         return self.target.delete_where(
             self.spark, f"_deleted AND _seq < {int(older_than_seq)}"
         )

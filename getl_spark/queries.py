@@ -536,10 +536,16 @@ SELECT user_id, CAST(SUM(s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM 
 
 def q_seq_surrogate(spark, sf_dir):
     """Sequence surrogate keys (jdbc/Sequence.groovy:101-112):
-    deterministic dense row_number, not monotonically_increasing_id."""
+    deterministic dense ranking via the two-phase distributed path —
+    rank within range partitions + partition offsets — NOT a global
+    no-partition window (which would sort the whole table in one task
+    at scale)."""
+    from getl_spark.sequence import assign_surrogate_keys
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    return d.select(F.row_number().over(w).alias("sk"), "doc_id")
+    return assign_surrogate_keys(
+        d, base=1, order_cols=["doc_id"], distributed=True
+    ).select(F.col("sk").cast("bigint").alias("sk"), "doc_id")
 
 
 SQL_SEQ_SURROGATE = """

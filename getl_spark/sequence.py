@@ -38,10 +38,21 @@ class SequenceGenerator:
         return int(self.table.properties.get(self.prop, "0"))
 
     def next_block(self, n: int) -> int:
-        """Reserve n values; returns the first (1-based)."""
-        base = self.current()
-        self.table.update_properties({self.prop: str(base + int(n))})
-        return base + 1
+        """Reserve n values; returns the first (1-based).
+
+        CAS loop: the base is re-read from freshly-committed properties
+        on every conflict (via transform_properties), so two concurrent
+        callers can never reserve the same block — the earlier
+        read-then-update version could re-apply a stale absolute value
+        after a conflict and hand out duplicate keys."""
+        claimed = {}
+
+        def reserve(props: dict) -> dict:
+            claimed["base"] = int(props.get(self.prop, "0"))
+            return {self.prop: str(claimed["base"] + int(n))}
+
+        self.table.transform_properties(reserve)
+        return claimed["base"] + 1
 
 
 def assign_surrogate_keys(

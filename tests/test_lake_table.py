@@ -228,3 +228,73 @@ def test_compact_and_expire(spark, table):
     # all remaining manifest files exist on disk
     for f in table.current_files():
         assert os.path.exists(os.path.join(table.location, f["path"]))
+
+
+def test_merge_partial_update_retains_unset_target_columns(spark, table):
+    """Delta/Iceberg set-map semantics: a partial when_matched_update
+    must leave unmentioned target columns untouched (not clobber them
+    with source values or NULLs)."""
+    table.append(mk(spark, [row("a/r1", "f1.py", 1, content="KEEP-ME", lang="py")]))
+    src = mk(spark, [row("a/r1", "f1.py", 9, content="SRC-CONTENT", lang="SRC-LANG")])
+    (
+        table.merge(src)
+        .on(["repo", "path"])
+        .when_matched_update(set={"_seq": "s._seq", "lang": "s.lang"})
+        .execute(spark)
+    )
+    got = table.read(spark).collect()[0]
+    assert got._seq == 9 and got.lang == "SRC-LANG"
+    assert got.content == "KEEP-ME"  # not in the set map -> target value retained
+
+
+def test_orphan_metadata_file_is_adopted_not_fatal(spark, tmp_warehouse):
+    """Crash between claiming v{N+1}.metadata.json and bumping VERSION
+    used to leave the table permanently unwritable (every writer's
+    claim fails, refresh still sees N). The claim protocol now adopts
+    the complete orphan commit and retries on top of it."""
+    import json
+    import shutil
+
+    cat = LakeCatalog(tmp_warehouse)
+    t = cat.create_table("t_orphan", SCHEMA, PartitionSpec.bucket(4, "repo"))
+    t.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    v = t.version
+    # simulate the crashed writer: a fully-written claim, VERSION not bumped
+    meta_dir = os.path.join(tmp_warehouse, "t_orphan", "metadata")
+    src_meta = os.path.join(meta_dir, f"v{v}.metadata.json")
+    orphan = os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+    shutil.copyfile(src_meta, orphan)
+    t.update_properties({"probe": "1"})  # must not spin/exhaust retries
+    t.refresh()
+    assert t.properties["probe"] == "1"
+    assert t.version >= v + 2  # orphan adopted, our commit landed after it
+    with open(os.path.join(meta_dir, "VERSION")) as f:
+        assert int(f.read()) == t.version
+    # data still readable
+    assert t.read(spark).count() == 1
+
+
+def test_sequence_blocks_disjoint_under_concurrency(spark, tmp_warehouse):
+    """next_block is a CAS loop: concurrent reservations must never
+    overlap (the old read-then-write could re-apply a stale base)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from getl_spark.lake import LakeCatalog
+    from getl_spark.sequence import SequenceGenerator
+
+    cat = LakeCatalog(tmp_warehouse)
+    cat.create_table("seqtab", SCHEMA, PartitionSpec.none())
+
+    def reserve(i):
+        # each worker loads its OWN table handle (separate metadata view)
+        g = SequenceGenerator(LakeCatalog(tmp_warehouse).load_table("seqtab"))
+        return [g.next_block(10) for _ in range(4)]
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        starts = [s for block in ex.map(reserve, range(6)) for s in block]
+    assert len(starts) == len(set(starts)) == 24
+    # blocks are [start, start+9]: disjoint iff starts differ by >= 10
+    ordered = sorted(starts)
+    assert all(b - a >= 10 for a, b in zip(ordered, ordered[1:]))
+    g = SequenceGenerator(LakeCatalog(tmp_warehouse).load_table("seqtab"))
+    assert g.current() == 240

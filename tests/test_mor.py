@@ -71,3 +71,60 @@ def test_mor_cow_identical_final_state(spark, tmp_warehouse, event_df):
     cow.replay(event_df, EPOCH)
     mor.replay(event_df, EPOCH)
     assert_final_state_matches(state_pdf(mor), state_pdf(cow))
+
+
+def _ev(spark, rows):
+    from getl_spark.events import EVENT_SCHEMA_DDL
+    from getl_spark.schema import parse_ddl
+
+    # (seq, op, repo, path, commit, lang, content, event_ts)
+    return spark.createDataFrame(
+        [
+            (seq, op, repo, path, f"c{seq:039d}", "py", content, None)
+            for (seq, op, repo, path, content) in rows
+        ],
+        parse_ddl(EVENT_SCHEMA_DDL),
+    )
+
+
+def test_mor_purge_tombstones_does_not_resurrect_deleted_keys(spark, tmp_warehouse):
+    """The stale-row hazard: an uncompacted delta still holds a
+    non-tombstone row at lower _seq for a deleted key; physically
+    deleting the tombstone would make it the LWW winner again.
+    purge_tombstones must compact first in MOR mode."""
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=4, merge_mode="mor")
+    pipe.apply_epoch(_ev(spark, [(1, "I", "r1", "a.py", "v1"), (2, "I", "r1", "b.py", "keep")]), 0)
+    pipe.apply_epoch(_ev(spark, [(3, "U", "r1", "a.py", "v2")]), 1)  # stale delta row
+    pipe.apply_epoch(_ev(spark, [(4, "D", "r1", "a.py", "")]), 2)  # tombstone delta
+    assert {r.path for r in pipe.state().collect()} == {"b.py"}
+    pipe.purge_tombstones(older_than_seq=100)
+    got = {r.path for r in pipe.state().collect()}
+    assert got == {"b.py"}, f"deleted key resurrected: {got}"
+    # tombstone physically gone
+    assert pipe.state(include_tombstones=True).filter("_deleted").count() == 0
+
+
+def test_mor_delta_append_after_schema_evolution(spark, tmp_warehouse):
+    """MOR delta appends must cast to the target schema: after
+    add_column the fill is a TYPED null (void columns break parquet),
+    and after widen the delta's physical types match the schema_id it
+    is recorded under."""
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=4, merge_mode="mor")
+    pipe.apply_epoch(_ev(spark, [(1, "I", "r1", "a.py", "v1")]), 0)
+    pipe.apply_epoch(
+        _ev(spark, [(2, "I", "r1", "b.py", "v1")]),
+        1,
+        schema_changes=[{"change": "add_column", "column_name": "rev", "new_type": "int", "seq": 2}],
+    )
+    pipe.apply_epoch(
+        _ev(spark, [(3, "U", "r1", "a.py", "v2")]),
+        2,
+        schema_changes=[{"change": "widen_column", "column_name": "rev", "new_type": "bigint", "seq": 3}],
+    )
+    st = pipe.state()
+    assert dict(st.dtypes)["rev"] == "bigint"
+    rows = {r.path: (r.content, r.rev) for r in st.collect()}
+    assert rows == {"a.py": ("v2", None), "b.py": ("v1", None)}
+    # compaction still converges post-evolution
+    pipe.compact()
+    assert {r.path for r in pipe.state().collect()} == {"a.py", "b.py"}
