@@ -51,6 +51,22 @@ def main(argv=None):
     state = sub.add_parser("state")
     state.add_argument("--warehouse", required=True)
 
+    comp = sub.add_parser(
+        "compact",
+        help="MOR maintenance: fold deltas to one row per key; optionally "
+        "purge tombstones below a seq horizon (purge compacts first in MOR "
+        "mode — required so stale delta rows can't resurrect deleted keys)",
+    )
+    comp.add_argument("--warehouse", required=True)
+    comp.add_argument("--pipeline", default="tail")
+    comp.add_argument(
+        "--purge-tombstones-below",
+        type=int,
+        default=None,
+        metavar="SEQ",
+        help="also physically drop tombstones with _seq below this horizon",
+    )
+
     args = p.parse_args(argv)
 
     # On a cluster, spark-submit provides the session; standalone we build one.
@@ -109,6 +125,29 @@ def main(argv=None):
         )
         n = t.run_available_now(args.events)
         print(json.dumps({"batches": n, "rows": t.pipeline.target.count_rows()}))
+    elif args.cmd == "compact":
+        from getl_spark.pipeline import CDCPipeline
+
+        pipe = CDCPipeline(spark, args.warehouse, name=args.pipeline)
+        t0 = time.monotonic()
+        before = pipe.target.count_rows()
+        pipe.compact()
+        purged = None
+        if args.purge_tombstones_below is not None:
+            pipe.purge_tombstones(args.purge_tombstones_below)
+            purged = args.purge_tombstones_below
+        pipe.target.refresh()
+        print(
+            json.dumps(
+                {
+                    "mode": pipe.merge_mode,
+                    "rows_before": before,
+                    "rows_after": pipe.target.count_rows(),
+                    "purged_below_seq": purged,
+                    "sec": round(time.monotonic() - t0, 1),
+                }
+            )
+        )
     elif args.cmd == "state":
         from getl_spark.lake import LakeCatalog
 

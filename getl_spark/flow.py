@@ -116,6 +116,56 @@ def validate_rows(
     return valid, errors
 
 
+def lookup(
+    probe: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    select: list[str] | None = None,
+    strategy: str = "HASH",
+    how: str = "left",
+) -> DataFrame:
+    """getl ``Dataset.lookup`` (/root/reference/src/main/groovy/getl/
+    data/Dataset.groovy:1141-1183): enrich rows by probing a keyed
+    dataset. getl materializes the dimension as a driver-side
+    HashMap/TreeMap; the cluster equivalent is a broadcast hash join —
+    the dimension ships once per executor, the probe side streams with
+    no shuffle.
+
+    - strategy='HASH'  -> broadcast hash join, no ordering contract
+      (getl's LookupStrategy.HASH / HashMap).
+    - strategy='ORDER' -> result additionally ordered by the key
+      (getl's LookupStrategy.ORDER / TreeMap iteration order).
+    ``select`` restricts which dimension columns are attached.
+    """
+    if strategy not in ("HASH", "ORDER"):
+        raise ValueError("strategy must be 'HASH' or 'ORDER'")
+    keys = [on] if isinstance(on, str) else list(on)
+    d = dim.select(*keys, *select) if select is not None else dim
+    out = probe.join(F.broadcast(d), keys, how)
+    return out.orderBy(*keys) if strategy == "ORDER" else out
+
+
+def generate_rows(df: DataFrame, fn, schema: StructType | str) -> DataFrame:
+    """getl ``Flow.writeTo``/``rowsTo`` free-form row generation
+    (/root/reference/src/main/groovy/getl/proc/Flow.groovy:679-818):
+    a generator that emits 0..M output rows per input batch (the UDTF
+    shape). ``fn(pandas.DataFrame) -> pandas.DataFrame`` runs over
+    Arrow batches via mapInPandas — vectorized, never per-row Python.
+    """
+    if isinstance(schema, str):
+        from getl_spark.schema import parse_ddl
+
+        schema = parse_ddl(schema)
+
+    def gen(batches):
+        for pdf in batches:
+            out = fn(pdf)
+            if out is not None and len(out):
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def write_all_to(df: DataFrame, sinks: list[tuple]) -> None:
     """Filtered multicast (MultipleDataset,
     /root/reference/src/main/groovy/getl/transform/MutlipleDatasetDriver.groovy:107-135):

@@ -124,11 +124,14 @@ LIMIT 10
 
 
 def q_segment_revenue(spark, sf_dir):
-    """Broadcast lookup join — getl `lookup` (Dataset.groovy:1141-1183)."""
+    """Broadcast lookup join — getl `lookup` (Dataset.groovy:1141-1183),
+    routed through the library lookup() API."""
+    from getl_spark.flow import lookup
+
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        lookup(o, c, on="o_custkey", select=["c_mktsegment"], how="inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

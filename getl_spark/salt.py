@@ -39,13 +39,18 @@ def detect_salt_factor(
     hot_share * num_partitions / skew_threshold, clamped to
     [1, max_salt]. Returns 1 (no salting) for balanced data.
     """
-    hist = key_histogram(df, cols, sample_fraction).limit(1).collect()
-    if not hist:
+    # ONE job: hottest-key count and sample total come out of the same
+    # aggregation (the old version ran a second count() over the sample)
+    s = df.sample(fraction=sample_fraction, seed=13) if sample_fraction < 1.0 else df
+    stats = (
+        s.groupBy(*cols)
+        .count()
+        .agg(F.max("count").alias("hot"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    if stats["total"] is None or int(stats["total"]) == 0:
         return 1
-    total = df.sample(fraction=sample_fraction, seed=13).count() if sample_fraction < 1.0 else df.count()
-    if total == 0:
-        return 1
-    hot_share = hist[0]["count"] / total
+    hot_share = int(stats["hot"]) / int(stats["total"])
     factor = int(hot_share * num_partitions / skew_threshold)
     return max(1, min(factor, max_salt))
 

@@ -53,6 +53,10 @@ _SIMPLE = {
     "datetime": TimestampType(),
     "binary": BinaryType(),
     "blob": BinaryType(),
+    # getl Field.TIME (data/Field.groovy:41-44): Spark has no TIME type;
+    # times map to 'HH:mm:ss[.SSS]' strings (documented decision — the
+    # lexical form sorts correctly and round-trips losslessly).
+    "time": StringType(),
 }
 
 

@@ -41,10 +41,24 @@ def read_csv(
     date_format: str | None = None,
     timestamp_format: str | None = None,
     keep_corrupt_rows: bool = False,
+    validate_rows: bool = True,
 ) -> DataFrame:
     """getl CSVDataset.eachRow. PERMISSIVE mode: malformed rows land in
     ``_corrupt_record`` (the errors-dataset pattern) instead of failing
-    the read."""
+    the read. ``validate_rows=False`` skips malformed-row detection for
+    a cache-free streaming scan (bulk-ingest fast path)."""
+    # Corrupt-row handling must stay PERMISSIVE + corrupt-record column
+    # in BOTH paths: DROPMALFORMED looks attractive (no cache) but its
+    # count() pushdown skips parsing and counts raw lines — wrong row
+    # accounting, unacceptable for a CDC engine (measured on Spark 4).
+    # Spark refuses plans whose scan references ONLY the corrupt column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and neither the columnPruning
+    # option nor spark.sql.csv.parser.columnPruning.enabled lifts that
+    # in Spark 4, so filtering on corruptness requires the documented
+    # cache barrier. Scale note: for bulk ingest where malformed rows
+    # are impossible/ignorable, pass validate_rows=False to get a
+    # cache-free streaming scan (null-padded short rows kept, parse
+    # failures null out the affected fields).
     r = (
         spark.read.option("header", header)
         .option("sep", field_delimiter)
@@ -60,22 +74,18 @@ def read_csv(
     if timestamp_format:
         r = r.option("timestampFormat", timestamp_format)
     if schema is not None:
-        # the corrupt-record column must be IN the schema for PERMISSIVE
-        # mode to populate it; add it internally, strip it on request
+        if not validate_rows:
+            return r.schema(schema).csv(path)  # cache-free bulk path
+        # the corrupt-record column must be IN the schema for
+        # PERMISSIVE mode to populate it; add it internally
         aug = schema
         if CORRUPT_COL not in schema.fieldNames():
             aug = StructType(list(schema.fields)).add(CORRUPT_COL, "string")
-        df = r.schema(aug).csv(path)
-    else:
-        df = r.option("inferSchema", True).csv(path)
-    if CORRUPT_COL in df.columns:
-        # Spark refuses plans referencing ONLY the corrupt column over a
-        # raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented
-        # pattern is to cache the parsed frame before filtering on it.
-        df = df.cache()
+        df = r.schema(aug).csv(path).cache()
         if not keep_corrupt_rows:
             df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    return df
+        return df
+    return r.option("inferSchema", True).csv(path)
 
 
 def write_csv(
@@ -177,6 +187,146 @@ def read_xml(
     return parsed.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_XLSX_RELNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _xlsx_rows(content: bytes, sheet) -> list[list]:
+    """Parse one .xlsx (ZIP + SpreadsheetML) with the stdlib only;
+    returns rows as lists of strings (numbers/bools in their lexical
+    form). Handles shared strings, inline strings, booleans, and
+    sheet selection by 1-based index or name via workbook rels."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    z = zipfile.ZipFile(io.BytesIO(content))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        for si in sst.findall(f"{_XLSX_NS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    rel_map = {
+        r.get("Id"): r.get("Target") for r in rels.findall(f"{_XLSX_RELNS}Relationship")
+    }
+    sheets = wb.find(f"{_XLSX_NS}sheets").findall(f"{_XLSX_NS}sheet")
+    if isinstance(sheet, int):
+        chosen = sheets[sheet - 1]
+    else:
+        try:
+            chosen = next(s for s in sheets if s.get("name") == sheet)
+        except StopIteration:
+            raise ValueError(
+                f"sheet {sheet!r} not found; have {[s.get('name') for s in sheets]}"
+            ) from None
+    target = rel_map[chosen.get(f"{_XLSX_RNS}id")]
+    if not target.startswith("xl/"):
+        target = "xl/" + target.lstrip("/")
+    sh = ET.fromstring(z.read(target))
+    rows: list[list] = []
+    for row_el in sh.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, str | None] = {}
+        for c in row_el.findall(f"{_XLSX_NS}c"):
+            ref = c.get("r") or ""
+            letters = "".join(ch for ch in ref if ch.isalpha())
+            idx = 0
+            for ch in letters:
+                idx = idx * 26 + (ord(ch.upper()) - 64)
+            idx = max(idx - 1, len(cells))
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find(f"{_XLSX_NS}is")
+                v = (
+                    "".join(tt.text or "" for tt in is_el.iter(f"{_XLSX_NS}t"))
+                    if is_el is not None
+                    else None
+                )
+            else:
+                v_el = c.find(f"{_XLSX_NS}v")
+                v = v_el.text if v_el is not None else None
+                if v is not None and t == "s":
+                    v = shared[int(v)]
+                elif v is not None and t == "b":
+                    v = "true" if v in ("1", "true") else "false"
+            cells[idx] = v
+        if cells:
+            width = max(cells) + 1
+            rows.append([cells.get(i) for i in range(width)])
+    return rows
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet: int | str = 1,
+    header: bool = True,
+    skip_rows: int = 0,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """getl ExcelDriver (/root/reference/excel/ExcelDriver.groovy:52-220:
+    listName / header / offset options).
+
+    No POI/openpyxl in this image — but .xlsx is ZIP + XML, so files
+    are scanned with Spark's ``binaryFile`` source and parsed
+    per-partition with stdlib zipfile+ElementTree inside mapInPandas
+    (the XML-source pattern at read_xml above): Arrow-batched, one
+    parse per file, distributed across executors. All cells surface as
+    strings; pass ``schema`` to name and cast columns positionally
+    (A, B, C...). Without a schema, the first file's header row is
+    read once for column names (a one-file schema-inference job, the
+    CSV inferSchema analog).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path)
+    if schema is not None:
+        names = schema.fieldNames()
+    else:
+        first = raw.select("content").limit(1).collect()
+        if not first:
+            raise ValueError(f"no files match {path}")
+        head_rows = _xlsx_rows(bytes(first[0][0]), sheet)[skip_rows:]
+        if not head_rows:
+            raise ValueError("cannot infer columns from an empty sheet")
+        if header:
+            names = [str(v) if v is not None else f"c{i}" for i, v in enumerate(head_rows[0])]
+        else:
+            names = [f"c{i}" for i in range(len(head_rows[0]))]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = _xlsx_rows(bytes(content), sheet)[skip_rows:]
+                if header:
+                    rows = rows[1:]
+                data = [
+                    [(None if v is None else str(v)) for v in (r + [None] * len(names))[: len(names)]]
+                    for r in rows
+                ]
+                yield pd.DataFrame(data, columns=names, dtype=object)
+
+    str_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": "string", "nullable": True, "metadata": {}}
+                for n in names
+            ],
+        }
+    )
+    parsed = raw.select("content").mapInPandas(parse, str_schema)
+    if schema is not None:
+        return parsed.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    return parsed
 
 
 _MASK_VAR = re.compile(r"\{(\w+)\}")

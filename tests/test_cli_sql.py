@@ -61,3 +61,28 @@ def test_cli_generate_tail_state(tmp_path):
         ["tail", "--events", log, "--warehouse", wh, "--epoch-size", "2500", "--num-buckets", "8"]
     )
     assert t2["epochs"] == 0
+
+
+def test_cli_compact_and_purge_preserve_state(spark, tmp_warehouse, capsys):
+    """CLI maintenance knob: compact + tombstone purge must preserve
+    the resolved live state exactly (MOR table)."""
+    import pandas as pd
+
+    from getl_spark.__main__ import main
+
+    ev = generate_change_events(spark, 2000, n_keys=150, n_repos=4, seed=9)
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, merge_mode="mor")
+    pipe.replay(ev, 500)
+    before = pipe.state().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    raw_before = pipe.target.count_rows()
+
+    rc = main(["compact", "--warehouse", tmp_warehouse, "--purge-tombstones-below", str(10**9)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "mor"
+    assert out["rows_after"] <= raw_before
+
+    pipe2 = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    after = pipe2.state().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    assert pipe2.state(include_tombstones=True).filter("_deleted").count() == 0

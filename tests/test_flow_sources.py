@@ -162,3 +162,143 @@ def test_multimodal_unknown_type_raises(spark):
     media = synth_media(spark, 5).withColumn("media_type", F.lit("hologram"))
     with pytest.raises(Exception, match="hologram"):
         extract_features(media).collect()
+
+
+# ------------------------------------------------------------------ excel
+
+
+def _write_minimal_xlsx(path, sheets):
+    """Hand-built SpreadsheetML: sheets = {name: [[cell, ...], ...]}.
+    Strings go through sharedStrings; ints/floats/bools inline."""
+    import zipfile
+
+    shared, shared_idx = [], {}
+
+    def cell_xml(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        s = str(v)
+        if s not in shared_idx:
+            shared_idx[s] = len(shared)
+            shared.append(s)
+        return f'<c r="{ref}" t="s"><v>{shared_idx[s]}</v></c>'
+
+    def col_letter(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sheet_xmls = {}
+    wb_entries, rel_entries = [], []
+    for si, (name, rows) in enumerate(sheets.items(), start=1):
+        body = "".join(
+            f'<row r="{ri + 1}">'
+            + "".join(cell_xml(f"{col_letter(ci)}{ri + 1}", v) for ci, v in enumerate(row))
+            + "</row>"
+            for ri, row in enumerate(rows)
+        )
+        sheet_xmls[f"xl/worksheets/sheet{si}.xml"] = (
+            f'<worksheet {ns}><sheetData>{body}</sheetData></worksheet>'
+        )
+        wb_entries.append(f'<sheet name="{name}" sheetId="{si}" r:id="rId{si}"/>')
+        rel_entries.append(
+            f'<Relationship Id="rId{si}" Type="x" Target="worksheets/sheet{si}.xml"/>'
+        )
+    sst = (
+        f'<sst {ns} count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", f'<workbook {ns} {rns}><sheets>{"".join(wb_entries)}</sheets></workbook>')
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + "".join(rel_entries)
+            + "</Relationships>",
+        )
+        z.writestr("xl/sharedStrings.xml", sst)
+        for p, xml in sheet_xmls.items():
+            z.writestr(p, xml)
+
+
+def test_excel_read(spark, tmp_path):
+    from getl_spark.sources import read_excel
+
+    f = str(tmp_path / "book.xlsx")
+    _write_minimal_xlsx(
+        f,
+        {
+            "data": [
+                ["id", "name", "amount", "active"],
+                [1, "alpha", 10.5, True],
+                [2, "beta", -3, False],
+                [3, None, 0, True],
+            ],
+            "other": [["x"], ["only-на-sheet-2"]],
+        },
+    )
+    # schema-cast read (positional A,B,C,D)
+    sch = parse_ddl("id int, name string, amount double, active boolean")
+    got = read_excel(spark, f, sheet="data", schema=sch).orderBy("id").collect()
+    assert [(r.id, r.name, r.amount, r.active) for r in got] == [
+        (1, "alpha", 10.5, True),
+        (2, "beta", -3.0, False),
+        (3, None, 0.0, True),
+    ]
+    # header-inferred all-string read
+    inf = read_excel(spark, f, sheet="data").orderBy("id")
+    assert inf.columns == ["id", "name", "amount", "active"]
+    assert dict(inf.dtypes)["amount"] == "string"
+    # sheet selection by name and by index
+    s2 = read_excel(spark, f, sheet="other").collect()
+    assert [r.x for r in s2] == ["only-на-sheet-2"]
+    assert read_excel(spark, f, sheet=2).collect() == s2
+    with pytest.raises(Exception, match="not found"):
+        read_excel(spark, f, sheet="nope").collect()
+
+
+def test_lookup_hash_and_order(spark):
+    from getl_spark.flow import lookup
+
+    probe = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b"), (9, "z")], "k int, v string"
+    )
+    dim = spark.createDataFrame(
+        [(1, "one", 10), (2, "two", 20), (3, "three", 30)], "k int, name string, extra int"
+    )
+    got = lookup(probe, dim, on="k", select=["name"])
+    assert set(got.columns) == {"k", "v", "name"}
+    by = {r.k: r.name for r in got.collect()}
+    assert by == {1: "one", 2: "two", 3: "three", 9: None}
+    ordered = lookup(probe, dim, on="k", strategy="ORDER", how="inner").collect()
+    assert [r.k for r in ordered] == [1, 2, 3]
+    # broadcast hint present in the plan (dimension never shuffles)
+    assert "Broadcast" in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_generate_rows_udtf_shape(spark):
+    from getl_spark.flow import generate_rows
+
+    src = spark.createDataFrame([(1, 2), (2, 3)], "a int, n int")
+
+    def explode_n(pdf):
+        import pandas as pd
+
+        out = []
+        for _, r in pdf.iterrows():
+            for i in range(int(r["n"])):
+                out.append({"a": int(r["a"]), "i": i})
+        return pd.DataFrame(out, columns=["a", "i"])
+
+    got = generate_rows(src, explode_n, "a int, i int").orderBy("a", "i").collect()
+    assert [(r.a, r.i) for r in got] == [(1, 0), (1, 1), (2, 0), (2, 1), (2, 2)]
