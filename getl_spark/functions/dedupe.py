@@ -58,22 +58,41 @@ def minhash_signature(shingles_col, num_hashes: int = 64, hash_fn: str = "xxhash
     Returns array<bigint> of length num_hashes.
 
     hash_fn: 'xxhash64' (fast path — one JVM hash per shingle per K) or
-    'sha256' (cross-engine: sha_hash60 of 'i:<shingle>', bit-identical
-    in DuckDB so the driver can oracle-check the full LSH pipeline).
+    'sha256' (cross-engine: bit-identical in DuckDB so the driver can
+    oracle-check the full LSH pipeline). The sha mode amortizes: one
+    sha256 digest is 64 hex chars = FOUR independent 60-bit values
+    (offsets 1/16/31/46), so K minhashes cost ceil(K/4) digests per
+    shingle, not K.
     """
     if hash_fn == "xxhash64":
-        def h(s, i):
-            return F.xxhash64(s, F.lit(i))
+        def per_shingle(s):
+            return F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
     elif hash_fn == "sha256":
-        def h(s, i):
-            return sha_hash60(s, prefix=str(i))
+        def per_shingle(s):
+            outs = []
+            for block in range((num_hashes + 3) // 4):
+                digest = F.sha2(F.concat(F.lit(f"{block}:"), s), 256)
+                for off_i in range(4):
+                    if block * 4 + off_i >= num_hashes:
+                        break
+                    outs.append(
+                        F.conv(
+                            F.substring(digest, off_i * 15 + 1, 15), 16, 10
+                        ).cast("long")
+                    )
+            return F.array(*outs)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles_col, lambda s, i=i: h(s, i)))
-            for i in range(num_hashes)
-        ]
+    # ONE pass over the shingle array: hash each shingle into a K-vector
+    # once, fold element-wise minima — K separate array_min/transform
+    # lambdas would re-hash every shingle K times (no CSE across
+    # higher-order lambdas). Init sentinel is Long.MAX: xxhash64 spans
+    # the full signed range, so anything lower could shadow real minima.
+    vals = F.transform(shingles_col, per_shingle)
+    return F.aggregate(
+        vals,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: F.least(a, b)),
     )
 
 

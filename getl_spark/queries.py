@@ -735,10 +735,11 @@ def _sql_minhash_core(num_hashes: int, bands: int, cap: int) -> str:
     distinct, on lower/trim/ws-collapsed text) and minhash_signature
     (sha256 mode) exactly."""
     rows = num_hashes // bands
+    # mirrors minhash_signature's sha mode: hash i reads 15 hex chars at
+    # offset (i%4)*15+1 of sha256('<i//4>:' || shingle) — 4 values/digest
     mh_exprs = ",\n    ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _H60_SQL.format(x=f"'{i}:' || s")
-        + f")) AS mh{i}"
+        "list_min(list_transform(shingles, s -> CAST('0x' || "
+        f"substr(sha256('{i // 4}:' || s), {(i % 4) * 15 + 1}, 15) AS BIGINT))) AS mh{i}"
         for i in range(num_hashes)
     )
     band_selects = "\n  UNION ALL\n  ".join(
