@@ -57,16 +57,22 @@ def minhash_signature(shingles_col, num_hashes: int = 64, hash_fn: str = "xxhash
     """K minhashes: min over shingles of hash(shingle, salt_i).
     Returns array<bigint> of length num_hashes.
 
-    hash_fn: 'xxhash64' (fast path — one JVM hash per shingle per K) or
-    'sha256' (cross-engine: bit-identical in DuckDB so the driver can
-    oracle-check the full LSH pipeline). The sha mode amortizes: one
-    sha256 digest is 64 hex chars = FOUR independent 60-bit values
-    (offsets 1/16/31/46), so K minhashes cost ceil(K/4) digests per
-    shingle, not K.
+    hash_fn: 'xxhash64' (fast path — one JVM hash per shingle per K,
+    array<bigint>) or 'sha256' (cross-engine: bit-identical in DuckDB
+    so the driver can oracle-check the full LSH pipeline,
+    array<string>). The sha mode amortizes two ways: one sha256 digest
+    is 64 hex chars = FOUR independent 60-bit values (15-hex-char
+    slices at offsets 1/16/31/46), so K minhashes cost ceil(K/4)
+    digests per shingle; and the slices stay STRINGS — fixed-length
+    lowercase hex compares lexicographically exactly like the numeric
+    value, so no per-value hex->int conv (measured: 32 convs/shingle
+    cost more than the 8 digests).
     """
     if hash_fn == "xxhash64":
         def per_shingle(s):
             return F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
+
+        sentinel = F.lit((1 << 63) - 1).cast("long")
     elif hash_fn == "sha256":
         def per_shingle(s):
             outs = []
@@ -75,23 +81,21 @@ def minhash_signature(shingles_col, num_hashes: int = 64, hash_fn: str = "xxhash
                 for off_i in range(4):
                     if block * 4 + off_i >= num_hashes:
                         break
-                    outs.append(
-                        F.conv(
-                            F.substring(digest, off_i * 15 + 1, 15), 16, 10
-                        ).cast("long")
-                    )
+                    outs.append(F.substring(digest, off_i * 15 + 1, 15))
             return F.array(*outs)
+
+        sentinel = F.lit("g")  # sorts after every hex char [0-9a-f]
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     # ONE pass over the shingle array: hash each shingle into a K-vector
     # once, fold element-wise minima — K separate array_min/transform
     # lambdas would re-hash every shingle K times (no CSE across
-    # higher-order lambdas). Init sentinel is Long.MAX: xxhash64 spans
-    # the full signed range, so anything lower could shadow real minima.
+    # higher-order lambdas). xxhash64's sentinel is Long.MAX (it spans
+    # the full signed range).
     vals = F.transform(shingles_col, per_shingle)
     return F.aggregate(
         vals,
-        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        F.array_repeat(sentinel, num_hashes),
         lambda acc, v: F.zip_with(acc, v, lambda a, b: F.least(a, b)),
     )
 
@@ -107,6 +111,49 @@ def with_minhash(
     sh = word_shingles(F.col(text_col), shingle_words)
     return df.select(id_col, text_col).withColumn(
         "minhash", minhash_signature(sh, num_hashes, hash_fn)
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, mh0..mh{K-1}) signature columns via explode -> per-shingle
+    hash columns -> MIN aggregate.
+
+    This is the scale shape: every step is whole-stage codegen (Spark
+    evaluates higher-order-function lambdas INTERPRETED — the
+    array-fold form allocates a K-array per shingle and runs ~3x
+    slower, measured at sf0.1), and the groupBy gets a map-side
+    partial aggregate, so the shuffle carries one K-vector per doc,
+    not per shingle. In sha mode the four 15-hex-char slices of one
+    digest are separate columns of the SAME select, so codegen CSE
+    computes each sha256 once.
+    """
+    sh = word_shingles(F.col(text_col), shingle_words)
+    ex = df.select(F.col(id_col), F.explode(sh).alias("_s"))
+    cols = []
+    if hash_fn == "xxhash64":
+        for i in range(num_hashes):
+            cols.append(F.xxhash64(F.col("_s"), F.lit(i)).alias(f"mh{i}"))
+    elif hash_fn == "sha256":
+        for block in range((num_hashes + 3) // 4):
+            digest = F.sha2(F.concat(F.lit(f"{block}:"), F.col("_s")), 256)
+            for off_i in range(4):
+                i = block * 4 + off_i
+                if i >= num_hashes:
+                    break
+                cols.append(F.substring(digest, off_i * 15 + 1, 15).alias(f"mh{i}"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return (
+        ex.select(id_col, *cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)])
     )
 
 
@@ -149,12 +196,12 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops degenerate buckets (see _cap_buckets).
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, text_col, id_col, num_hashes, shingle_words, hash_fn)
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words, hash_fn)
 
     def band_key(b):
         joined = F.concat_ws(
             ",",
-            *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
         )
         # sha256 mode keeps the raw joined string so DuckDB can build
         # the identical key; xxhash64 mode compresses it to 8 bytes.

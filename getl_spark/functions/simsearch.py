@@ -109,6 +109,65 @@ def _bucket_col(vec_col, planes: list[list[int]]):
     return out
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_bits: int = 6,
+    n_tables: int = 4,
+    seed: int = 99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, score >=
+    threshold): hyperplane-LSH self-join proposes candidates (never
+    all-pairs — two near-identical vectors agree on every hyperplane
+    sign with high probability, so they share a bucket in some table),
+    then exact cosine verifies. Same integer-exact bucket math as
+    lsh_topk, so the operator is oracle-checkable."""
+    if dim is None:
+        raise ValueError("embedding_near_dups requires dim explicitly")
+    banded = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_col(
+                            F.col(vec_col), int_hyperplanes(dim, n_bits, seed + t)
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("h"),
+    ).select("_id", "h.tbl", "h.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .distinct()
+    )
+    av = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    bv = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -735,11 +735,12 @@ def _sql_minhash_core(num_hashes: int, bands: int, cap: int) -> str:
     distinct, on lower/trim/ws-collapsed text) and minhash_signature
     (sha256 mode) exactly."""
     rows = num_hashes // bands
-    # mirrors minhash_signature's sha mode: hash i reads 15 hex chars at
-    # offset (i%4)*15+1 of sha256('<i//4>:' || shingle) — 4 values/digest
+    # mirrors minhash_signature's sha mode: hash i is the 15-hex-char
+    # slice at offset (i%4)*15+1 of sha256('<i//4>:' || shingle), kept
+    # as a STRING (fixed-length hex: lexicographic min == numeric min)
     mh_exprs = ",\n    ".join(
-        "list_min(list_transform(shingles, s -> CAST('0x' || "
-        f"substr(sha256('{i // 4}:' || s), {(i % 4) * 15 + 1}, 15) AS BIGINT))) AS mh{i}"
+        "list_min(list_transform(shingles, s -> "
+        f"substr(sha256('{i // 4}:' || s), {(i % 4) * 15 + 1}, 15))) AS mh{i}"
         for i in range(num_hashes)
     )
     band_selects = "\n  UNION ALL\n  ".join(
@@ -831,10 +832,11 @@ WHERE a.doc_id < b.doc_id
 SQL_SIMHASH_PAIRS = _sql_simhash_pairs(_SH_CAP)
 
 
-def _sql_ann_lsh_topk() -> str:
-    """Mirrors lsh_topk: floor(v*1024) integer grid (exact in float64,
-    so dot-product sign is order-independent and engine-independent),
-    int_hyperplanes literals, bucket join, cosine re-rank."""
+def _sql_ann_banded() -> str:
+    """Shared CTE prefix mirroring the hyperplane bucketing of
+    lsh_topk/embedding_near_dups: floor(v*1024) integer grid (exact in
+    float64, so dot-product sign is order- and engine-independent),
+    int_hyperplanes literals, per-table bucket ids."""
     band_selects = []
     for t in range(_ANN_TABLES):
         planes = simsearch.int_hyperplanes(_ANN_DIM, _ANN_BITS, _ANN_SEED + t)
@@ -853,7 +855,11 @@ WITH emb AS (
   SELECT vec_id, list_transform(e, v -> floor(v * 1024.0)) AS iq FROM emb
 ), banded AS (
   {banded}
-), cand AS (
+)"""
+
+
+def _sql_ann_lsh_topk() -> str:
+    return _sql_ann_banded() + f""", cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM banded q JOIN banded c USING (tbl, bucket)
   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
@@ -873,6 +879,41 @@ SELECT query_id, neighbor_id, score FROM (
 
 
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+_EMB_ND_THRESHOLD = 0.3
+
+
+def q_emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates ->
+    exact cosine verify (never all-pairs)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return simsearch.embedding_near_dups(
+        emb,
+        threshold=_EMB_ND_THRESHOLD,
+        dim=_ANN_DIM,
+        n_bits=_ANN_BITS,
+        n_tables=_ANN_TABLES,
+        seed=_ANN_SEED,
+    )
+
+
+SQL_EMB_NEAR_DUPS = (
+    _sql_ann_banded()
+    + f""", cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, score FROM (
+  SELECT a_id, b_id, round(list_cosine_similarity(ae.e, be.e), 4) AS score
+  FROM cand
+  JOIN emb ae ON ae.vec_id = cand.a_id
+  JOIN emb be ON be.vec_id = cand.b_id
+) WHERE score >= {_EMB_ND_THRESHOLD}
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -911,6 +952,7 @@ def all_queries():
         "near_dedup": q_near_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_near_dups": q_emb_near_dups,
     }
 
 
@@ -947,4 +989,5 @@ def all_oracles():
         "near_dedup": SQL_NEAR_DEDUP,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "emb_near_dups": SQL_EMB_NEAR_DUPS,
     }
