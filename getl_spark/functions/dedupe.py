@@ -329,6 +329,37 @@ def simhash60(text_col) -> "F.Column":
     return _simhash(text_col, 60, lambda t: sha_hash60(t))
 
 
+def simhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash) via explode(distinct tokens) -> hash column ->
+    per-bit signed-count aggregate -> sign fold. Same codegen rationale
+    as minhash_signatures_df: the column-expression form (simhash64/60)
+    runs n_bits interpreted lambda aggregates per document; this form
+    is one whole-stage-codegen aggregate with map-side combine.
+    Identical values to simhash64 (63-bit xxhash64) / simhash60
+    (60-bit sha_hash60)."""
+    n_bits = 60 if hash_fn == "sha256" else 63
+    toks = F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("_t")
+    ex = df.select(F.col(id_col), toks)
+    h = sha_hash60(F.col("_t")) if hash_fn == "sha256" else F.xxhash64(F.col("_t"))
+    ex = ex.select(id_col, h.alias("_h"))
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.getbit(F.col("_h"), F.lit(i)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    sig = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        sig = bit if sig is None else sig + bit
+    return sums.select(id_col, sig.alias("simhash"))
+
+
 def simhash_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -342,11 +373,9 @@ def simhash_duplicates(
     buckets (see _cap_buckets)."""
     if hash_fn == "sha256":
         total_bits, band_bits = 60, min(band_bits, 15)
-        sig_col = simhash60(F.col(text_col))
     else:
         total_bits = 64
-        sig_col = simhash64(F.col(text_col))
-    sig = df.select(id_col, sig_col.alias("simhash"))
+    sig = simhash_signatures_df(df, text_col, id_col, hash_fn)
     bands = total_bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(
