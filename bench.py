@@ -47,7 +47,9 @@ BENCH_QUERIES = [
     "fingerprint",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "simhash_pairs",
     "simsearch_topk",
+    "emb_near_dups",
 ]
 
 
