@@ -81,6 +81,61 @@ class StreamingTailer:
         return self.pipeline.state()
 
 
+def windowed_event_counts(
+    spark: SparkSession,
+    event_log_path: str,
+    checkpoint_dir: str,
+    output_path: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Event-time windowed aggregation with a late-data watermark —
+    the canonical Structured Streaming shape for time-bucketed rollups
+    over the change stream.
+
+    ``withWatermark(event_ts)`` bounds state: a (window, op) group is
+    held only until the watermark passes the window end, then emitted
+    exactly once (append mode) and its state dropped — constant memory
+    at any stream length. Rows arriving later than the watermark are
+    discarded by contract. In AvailableNow mode the watermark advances
+    between micro-batches, so ``max_files_per_trigger=1`` makes the
+    backfill behave like the live stream (one batch per log file).
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.format("parquet").schema(parse_ddl(EVENT_SCHEMA_DDL))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(event_log_path)
+    agg = (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window_duration).alias("w"), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("seq").alias("max_seq"),
+            F.sum(F.length("content")).alias("bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "op",
+            "n",
+            "max_seq",
+            "bytes",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_repo_stats(
     spark: SparkSession,
     event_log_path: str,

@@ -302,3 +302,16 @@ def test_generate_rows_udtf_shape(spark):
 
     got = generate_rows(src, explode_n, "a int, i int").orderBy("a", "i").collect()
     assert [(r.a, r.i) for r in got] == [(1, 0), (1, 1), (2, 0), (2, 1), (2, 2)]
+
+
+def test_seq_surrogate_query_plan_is_distributed(spark):
+    """The driver query must rank via range partitions (two-phase),
+    never a global no-partition window that sorts the table in one
+    task (VERDICT r1)."""
+    from getl_spark.queries import q_seq_surrogate
+
+    df = q_seq_surrogate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # the per-partition ranking window is keyed, not global
+    assert "partitionBy=[_pid" in plan.replace(" ", "") or "_pid" in plan

@@ -79,3 +79,62 @@ def test_stream_resume_after_kill(spark, tmp_warehouse, log_dir, oracle_final):
     tailer3.run_available_now(log_dir)
     tailer3.pipeline.target.refresh()
     assert tailer3.pipeline.target.version == v
+
+
+def test_windowed_counts_with_watermark(spark, log_dir, tmp_path):
+    """Event-time windowed agg: every (window, op) group the watermark
+    closed must match the batch groupBy over the full log exactly, and
+    the append-mode sink must emit each window at most once.
+
+    The fixture log is rewritten time-ordered across files (a real
+    binlog/WAL tail arrives roughly in event-time order; a hash-split
+    log would make 5/6 of rows arrive past the watermark and be
+    dropped — which is correct watermark semantics, but not what this
+    test pins)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from getl_spark.streaming import windowed_event_counts
+
+    ordered = str(tmp_path / "ordered_log")
+    full = spark.read.parquet(log_dir)
+    lo, hi = 0, full.agg(F.max("seq")).collect()[0][0]
+    step = (hi + 5) // 6
+    for k in range(6):
+        (
+            full.filter((F.col("seq") > k * step) & (F.col("seq") <= (k + 1) * step))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(ordered)
+        )
+    # FileStreamSource consumes oldest-modification-first: force strictly
+    # ascending mod times in seq order (writes above may share a second)
+    parts = sorted(_glob.glob(f"{ordered}/part-*.parquet"), key=_os.path.getmtime)
+    base = _time.time() - 600
+    for i, p in enumerate(parts):
+        _os.utime(p, (base + i, base + i))
+
+    out = str(tmp_path / "winout")
+    ckpt = str(tmp_path / "winckpt")
+    windowed_event_counts(
+        spark, ordered, ckpt, out, window_duration="10 minutes", watermark="5 minutes"
+    )
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) > 0, "watermark never closed a window (need >1 micro-batch)"
+    # append mode: one emission per (window, op)
+    assert got.groupBy("window_start", "op").count().filter("count > 1").count() == 0
+    # closed windows match the batch oracle
+    oracle = (
+        spark.read.parquet(log_dir)
+        .withColumn("op", F.col("op"))
+        .groupBy(F.window("event_ts", "10 minutes").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("max_seq"))
+        .select(F.col("w.start").alias("window_start"), "op", "n", "max_seq")
+    )
+    o = {(r.window_start, r.op): (r.n, r.max_seq) for r in oracle.collect()}
+    for r in rows:
+        assert o[(r.window_start, r.op)] == (r.n, r.max_seq)
