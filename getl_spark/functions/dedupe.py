@@ -261,6 +261,58 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """(node, component) for an undirected edge list (a_id, b_id);
+    component = the minimum node id reachable (deterministic
+    representative).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its label and its neighbors' labels — one edges-sized
+    shuffle per round, converging in O(cluster diameter) rounds (dedup
+    clusters are shallow; 25 covers diameter-25 chains, and the loop
+    exits early on convergence). localCheckpoint truncates the plan
+    lineage each round so the DAG stays O(1) deep at any scale.
+    """
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("ncomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -270,19 +322,35 @@ def near_dedup_minhash(
     threshold: float = 0.7,
     hash_fn: str = "xxhash64",
     max_bucket: int | None = None,
+    transitive: bool = False,
 ) -> DataFrame:
-    """Full near-dedup: LSH candidates -> Jaccard verify -> drop the
-    higher id of each confirmed pair (pairwise, deterministic; NOT
-    transitive-closure clustering — a doc survives iff no verified
-    pair links it to a lower id)."""
+    """Full near-dedup: LSH candidates -> Jaccard verify -> drop.
+
+    Drop policy (both deterministic):
+    - transitive=False (default): drop the higher id of each verified
+      pair — a doc survives iff no verified pair links it to a lower
+      id. NOT transitive closure: for a chain a~b, b~c with a!~c, both
+      b and c drop, a stays.
+    - transitive=True: connected-components clustering over verified
+      pairs; exactly ONE representative (min id) survives per cluster
+      — for the chain above, a survives, b AND c drop (same outcome
+      here, but e.g. c would survive pairwise if its only link b was
+      judged against a first — closure removes that order-dependence
+      in interpretation and keeps one doc per cluster always).
+    """
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, hash_fn=hash_fn, max_bucket=max_bucket
     )
-    dups = (
-        jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
-        .select(F.col("b_id").alias(id_col))
-        .distinct()
-    )
+    verified = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
+    if transitive:
+        comp = connected_components(verified)
+        dups = (
+            comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+            .distinct()
+        )
+    else:
+        dups = verified.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(dups, id_col, "left_anti")
 
 

@@ -185,3 +185,32 @@ def test_lsh_bucket_cap_bounds_pathological_corpus(spark):
     # a cap above the bucket size changes nothing
     loose = dedupe.lsh_candidate_pairs(corpus, num_hashes=16, bands=4, max_bucket=n)
     assert loose.count() == n * (n - 1) // 2
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "a_id bigint, b_id bigint",
+    )
+    comp = {r.node: r.component for r in dedupe.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_near_dedup_transitive_keeps_one_per_cluster(spark):
+    # chain: d1 ~ d2 ~ d3 (adjacent jaccard high, d1 vs d3 lower)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(words[:9] + ["CHANGED1"])),
+            (3, " ".join(words[:8] + ["CHANGED1", "CHANGED2"])),
+            (9, "completely different text about something else entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = dedupe.near_dedup_minhash(
+        docs, num_hashes=32, bands=16, threshold=0.3, transitive=True
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 9], f"one representative per cluster expected, got {ids}"
