@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,7 +97,9 @@ def quantize_vec(vec_col):
 
 
 def _bucket_col(vec_col, planes: list[list[int]]):
-    """LSH bucket id: bit b = sign of <quantized vec, integer plane b>."""
+    """LSH bucket id: bit b = sign of <quantized vec, integer plane b>.
+    Column-expression reference form (interpreted HOFs — used for
+    cross-validation; the hot path is _all_buckets_udf)."""
     q = quantize_vec(vec_col)
     out = F.lit(0).cast("long")
     for bi, row in enumerate(planes):
@@ -107,6 +111,44 @@ def _bucket_col(vec_col, planes: list[list[int]]):
         )
         out = out + F.when(dot >= 0, F.lit(1 << bi)).otherwise(F.lit(0)).cast("long")
     return out
+
+
+def _all_buckets_udf(planes_by_table: list[list[list[int]]]):
+    """Arrow-batched bucket computation: ALL tables' buckets in one
+    numpy pass per batch. Spark evaluates higher-order-function
+    lambdas interpreted, so the column form costs
+    n_tables*n_bits*dim lambda steps per row; here it's one exact
+    int64 matmul (floor(v*1024) grid x integer hyperplanes — identical
+    values to _bucket_col and to the DuckDB oracle, since integer
+    arithmetic has no summation-order sensitivity). Returns
+    array<bigint> of length n_tables."""
+    import numpy as np
+
+    mats = [np.array(p, dtype=np.int64) for p in planes_by_table]  # (bits, dim)
+    powers = [1 << np.arange(m.shape[0], dtype=np.int64) for m in mats]
+
+    @F.pandas_udf("array<bigint>")
+    def f(vecs: pd.Series) -> pd.Series:
+        arr = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        q = np.floor(arr * 1024.0).astype(np.int64)
+        per_table = [
+            ((q @ m.T >= 0).astype(np.int64) * pw).sum(axis=1)
+            for m, pw in zip(mats, powers)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return f
+
+
+def _bucketed(df: DataFrame, id_col: str, vec_col: str, out_id: str,
+              dim: int, n_bits: int, n_tables: int, seed: int) -> DataFrame:
+    """(out_id, tbl, bucket) rows — one UDF call per row, posexplode
+    over the per-table bucket array."""
+    planes = [int_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+    udf = _all_buckets_udf(planes)
+    return df.select(
+        F.col(id_col).alias(out_id), udf(F.col(vec_col)).alias("_bs")
+    ).select(out_id, F.posexplode("_bs").alias("tbl", "bucket"))
 
 
 def embedding_near_dups(
@@ -127,22 +169,7 @@ def embedding_near_dups(
     lsh_topk, so the operator is oracle-checkable."""
     if dim is None:
         raise ValueError("embedding_near_dups requires dim explicitly")
-    banded = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket_col(
-                            F.col(vec_col), int_hyperplanes(dim, n_bits, seed + t)
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("h"),
-    ).select("_id", "h.tbl", "h.bucket")
+    banded = _bucketed(corpus, id_col, vec_col, "_id", dim, n_bits, n_tables, seed)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -191,28 +218,10 @@ def lsh_topk(
             "lsh_topk requires dim explicitly (inferring it would collect from the corpus)"
         )
 
-    def bucketed(df, prefix):
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            _bucket_col(
-                                F.col(vec_col), int_hyperplanes(dim, n_bits, seed + t)
-                            ).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("h"),
-        ).select(f"{prefix}_id", "h.tbl", "h.bucket")
-
     # ids-only through the bucket join + distinct (wide vectors never
     # shuffle); vectors re-attached afterwards, query side broadcast.
-    qb = F.broadcast(bucketed(queries, "q"))
-    cb = bucketed(corpus, "c")
+    qb = F.broadcast(_bucketed(queries, id_col, vec_col, "q_id", dim, n_bits, n_tables, seed))
+    cb = _bucketed(corpus, id_col, vec_col, "c_id", dim, n_bits, n_tables, seed)
     cand_ids = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("c_id") != F.col("q_id"))
