@@ -128,3 +128,47 @@ def test_mor_delta_append_after_schema_evolution(spark, tmp_warehouse):
     # compaction still converges post-evolution
     pipe.compact()
     assert {r.path for r in pipe.state().collect()} == {"a.py", "b.py"}
+
+
+def test_mor_rename_alignment_on_delta_path(spark, tmp_warehouse):
+    """rename_column + MOR: later events still emitting the pre-rename
+    name must align and append cleanly (the CoW path's
+    _align_source_columns also guards the delta path)."""
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=4, merge_mode="mor")
+    pipe.apply_epoch(_ev(spark, [(1, "I", "r1", "a.py", "v1")]), 0)
+    pipe.apply_epoch(
+        _ev(spark, [(2, "U", "r1", "a.py", "v2")]),
+        1,
+        schema_changes=[
+            {"change": "rename_column", "column_name": "lang", "new_name": "language", "seq": 2}
+        ],
+    )
+    st = pipe.state()
+    assert "language" in st.columns and "lang" not in st.columns
+    rows = {r.path: (r.content, r.language) for r in st.collect()}
+    assert rows == {"a.py": ("v2", "py")}
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_random_epoch_assignment_converges(spark, tmp_warehouse, mode):
+    """The convergence claim behind tombstones + the per-arm
+    `s._seq > t._seq` guard: micro-batch contents are NOT seq-ordered
+    (a streaming tailer's file-listing order is not contractual), so
+    events land in epochs in arbitrary order — the final state must
+    still equal the oracle's LWW reduction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = generate_change_events(spark, 3000, n_keys=200, n_repos=6, seed=23)
+    oracle = reduce_events(ev.toPandas())
+    sliced = ev.withColumn("_e", F.pmod(F.xxhash64("seq", F.lit(77)), F.lit(4)))
+    pipe = CDCPipeline(
+        spark, os.path.join(tmp_warehouse, mode), num_buckets=8, merge_mode=mode
+    )
+    for e in range(4):
+        pipe.apply_epoch(sliced.filter(F.col("_e") == e).drop("_e"), e)
+    assert_final_state_matches(state_pdf(pipe), oracle)
