@@ -614,6 +614,35 @@ FROM documents
 """
 
 
+def q_rolling_fp(spark, sf_dir):
+    """Winnowing-style rolling k-gram fingerprints, one row per window
+    (cross-engine sha-slice hash; the library fast path is
+    text.rolling_hashes/xxhash64). Output (doc_id, pos, h)."""
+    k = 8
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    norm = text.normalize_for_fingerprint(F.col("text"))
+    n_windows = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return (
+        d.select("doc_id", norm.alias("_n"), F.explode(F.sequence(F.lit(1), n_windows)).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.sha2(F.substring(F.col("_n"), F.col("pos"), F.lit(k)), 256), 1, 15
+            ).alias("h"),
+        )
+    )
+
+
+SQL_ROLLING_FP = r"""
+SELECT doc_id, i AS pos, substr(sha256(substr(norm, i, 8)), 1, 15) AS h
+FROM (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id < 100
+), unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS t(i)
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedupe.exact_duplicates(d).select("fingerprint", "keep_id", "n")
@@ -946,6 +975,7 @@ def all_queries():
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
         "fingerprint": q_fingerprint,
+        "rolling_fp": q_rolling_fp,
         "dedup_exact": q_dedup_exact,
         "simsearch_topk": q_simsearch_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -983,6 +1013,7 @@ def all_oracles():
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang": SQL_TEXT_LANG,
         "fingerprint": SQL_FINGERPRINT,
+        "rolling_fp": SQL_ROLLING_FP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

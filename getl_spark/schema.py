@@ -73,9 +73,13 @@ def parse_type(s: str) -> DataType:
     m = re.fullmatch(r"array\s*<(.+)>", s)
     if m:
         return ArrayType(parse_type(m.group(1)))
-    m = re.fullmatch(r"map\s*<(.+),(.+)>", s)
+    m = re.fullmatch(r"map\s*<(.+)>", s)
     if m:
-        return MapType(parse_type(m.group(1)), parse_type(m.group(2)))
+        # split on the TOP-LEVEL comma only: map<string,decimal(1,0)>
+        # must not split inside the value type (hypothesis-found bug)
+        parts = _split_top(m.group(1))
+        if len(parts) == 2:
+            return MapType(parse_type(parts[0]), parse_type(parts[1]))
     raise ValueError(f"cannot parse type: {s!r}")
 
 
