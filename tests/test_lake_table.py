@@ -298,3 +298,22 @@ def test_sequence_blocks_disjoint_under_concurrency(spark, tmp_warehouse):
     assert all(b - a >= 10 for a, b in zip(ordered, ordered[1:]))
     g = SequenceGenerator(LakeCatalog(tmp_warehouse).load_table("seqtab"))
     assert g.current() == 240
+
+
+def test_read_incremental_appends_only_new_files(spark, table):
+    s0 = table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    s1 = table.append(mk(spark, [row("a/r1", "f2.py", 2), row("b/r2", "g.py", 3)]))
+    s2 = table.append(mk(spark, [row("c/r3", "h.py", 4)]))
+    inc = table.read_incremental(spark, s0["snapshot_id"], s1["snapshot_id"])
+    assert sorted(r._seq for r in inc.collect()) == [2, 3]
+    # open-ended: everything after s1
+    tail = table.read_incremental(spark, s1["snapshot_id"])
+    assert [r._seq for r in tail.collect()] == [4]
+    # empty range
+    assert table.read_incremental(spark, s2["snapshot_id"]).count() == 0
+    # a non-append snapshot in the range is refused
+    table.delete_where(spark, "_seq = 1")
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_incremental(spark, s0["snapshot_id"])
+    # but the pre-overwrite range still works
+    assert table.read_incremental(spark, s0["snapshot_id"], s2["snapshot_id"]).count() == 3
