@@ -273,7 +273,10 @@ def connected_components(
     shuffle per round, converging in O(cluster diameter) rounds (dedup
     clusters are shallow; 25 covers diameter-25 chains, and the loop
     exits early on convergence). localCheckpoint truncates the plan
-    lineage each round so the DAG stays O(1) deep at any scale.
+    lineage each round so the DAG stays O(1) deep at any scale — on a
+    long-lived production cluster prefer reliable checkpointing
+    (setCheckpointDir + .checkpoint(): localCheckpoint blocks die with
+    their executor).
     """
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = edges.union(
