@@ -32,10 +32,24 @@ class LakeCatalog:
         partition_spec: PartitionSpec | None = None,
         properties: dict | None = None,
         if_not_exists: bool = False,
+        primary_key: list[str] | None = None,
     ) -> LakeTable:
+        """``primary_key`` (or ``isKey`` field metadata on the schema —
+        getl Field keys, data/Field.groovy:137-178) is stored in table
+        properties; MERGE then defaults its ON clause to it."""
         if if_not_exists and self.table_exists(name):
             return self.load_table(name)
-        return LakeTable.create(self._loc(name), schema, partition_spec, properties, name=name)
+        props = dict(properties or {})
+        if primary_key is None:
+            from getl_spark.schema import key_columns
+
+            primary_key = key_columns(schema) or None
+        if primary_key:
+            missing = [k for k in primary_key if k not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"primary_key columns not in schema: {missing}")
+            props.setdefault("primary.key", ",".join(primary_key))
+        return LakeTable.create(self._loc(name), schema, partition_spec, props, name=name)
 
     def load_table(self, name: str) -> LakeTable:
         return LakeTable.load(self._loc(name))

@@ -91,7 +91,13 @@ class MergeBuilder:
     def execute(self, spark: SparkSession) -> dict:
         t = self.table
         if not self._keys:
-            raise ValueError("merge requires .on(keys)")
+            # fall back to the table's declared primary key (getl
+            # Field.isKey parity — stored by create_table)
+            pk = t.properties.get("primary.key")
+            if pk:
+                self._keys = [k.strip() for k in pk.split(",")]
+        if not self._keys:
+            raise ValueError("merge requires .on(keys) or a table primary key")
         if self._pipeline is not None:
             wm = t.properties.get(f"watermark.{self._pipeline}")
             if wm is not None and int(wm) >= self._epoch:

@@ -260,16 +260,22 @@ class LakeTable:
         files: list,
         summary: dict | None = None,
         properties_update: dict | None = None,
-        max_retries: int = 20,
+        max_retries: int = 50,
     ) -> dict:
         """Commit a new snapshot whose live file set is ``files``.
 
-        On a concurrent-commit race, reloads metadata and retries; pure
-        appends always rebase cleanly (the new files are disjoint),
-        overwrites raise :class:`CommitConflict` if the concurrent
-        commit overlaps (detected by file-set divergence).
+        On a concurrent-commit race, reloads metadata and retries with
+        jittered exponential backoff (without it, many writers can
+        livelock each other out of all retries — measured with 6
+        processes); pure appends always rebase cleanly (the new files
+        are disjoint), overwrites raise :class:`CommitConflict` if the
+        concurrent commit overlaps (detected by file-set divergence).
         """
-        for _ in range(max_retries):
+        import random
+
+        for attempt in range(max_retries):
+            if attempt:
+                time.sleep(min(0.001 * (2 ** min(attempt, 8)), 0.2) * (0.5 + random.random()))
             snap_id = (self.meta["current_snapshot_id"] or 0) + 1
             snap = {
                 "snapshot_id": snap_id,
@@ -482,7 +488,11 @@ class LakeTable:
         conflict, so read-modify-write reservations (sequence blocks,
         counters) never apply a stale absolute value twice. Returns the
         updates that actually committed."""
-        for _ in range(max_retries):
+        import random
+
+        for attempt in range(max_retries):
+            if attempt:
+                time.sleep(min(0.001 * (2 ** min(attempt, 8)), 0.2) * (0.5 + random.random()))
             self.refresh()
             updates = fn(dict(self.meta["properties"]))
             new_meta = json.loads(json.dumps(self.meta))
@@ -609,7 +619,12 @@ class LakeTable:
                 f"incremental read crosses non-append snapshots {non_append}: "
                 "the file diff is not a row diff — read a full snapshot instead"
             )
-        from_files = {f["path"] for f in self.current_files(from_snapshot_id)}
+        # snapshot ids start at 1; 0 is the genesis sentinel (empty table)
+        from_files = (
+            set()
+            if from_snapshot_id <= 0
+            else {f["path"] for f in self.current_files(from_snapshot_id)}
+        )
         new_files = [
             f for f in self.current_files(to_id) if f["path"] not in from_files
         ]

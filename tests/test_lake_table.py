@@ -317,3 +317,78 @@ def test_read_incremental_appends_only_new_files(spark, table):
         table.read_incremental(spark, s0["snapshot_id"])
     # but the pre-overwrite range still works
     assert table.read_incremental(spark, s0["snapshot_id"], s2["snapshot_id"]).count() == 3
+
+
+def test_primary_key_default_merge_keys(spark, tmp_warehouse):
+    """getl Field.isKey parity: a table's declared primary key becomes
+    the default MERGE ON clause (explicit .on() still wins)."""
+    from getl_spark.schema import field
+    from pyspark.sql.types import StructType
+
+    cat = LakeCatalog(tmp_warehouse)
+    # via explicit arg
+    t = cat.create_table("pk1", SCHEMA, PartitionSpec.bucket(4, "repo"),
+                         primary_key=["repo", "path"])
+    assert t.properties["primary.key"] == "repo,path"
+    t.append(mk(spark, [row("a/r1", "f1.py", 1, content="old")]))
+    res = (t.merge(mk(spark, [row("a/r1", "f1.py", 9, content="new")]))
+           .when_matched_update().execute(spark))
+    assert res["stats"]["updated"] == 1
+    got = t.read(spark).collect()[0]
+    assert got.content == "new" and got._seq == 9
+    # via isKey field metadata
+    s2 = StructType([
+        field("k", "string", is_key=True),
+        field("v", "string"),
+    ])
+    t2 = cat.create_table("pk2", s2, PartitionSpec.none())
+    assert t2.properties["primary.key"] == "k"
+    # no key anywhere -> explicit error
+    t3 = cat.create_table("pk3", SCHEMA, PartitionSpec.none())
+    with pytest.raises(ValueError, match="primary key"):
+        t3.merge(mk(spark, [row("a/r1", "f1.py", 1)])).execute(spark)
+    # bad key column rejected at create
+    with pytest.raises(ValueError, match="not in schema"):
+        cat.create_table("pk4", SCHEMA, primary_key=["nope"])
+
+
+def test_multiprocess_commit_race_loses_nothing(tmp_warehouse):
+    """6 OS processes x 15 appends race on one table: the link-claim
+    commit protocol must serialize every commit — no lost rows, no
+    duplicate versions, VERSION == latest metadata file."""
+    import subprocess
+    import sys
+
+    cat = LakeCatalog(tmp_warehouse)
+    cat.create_table("race", parse_ddl("w int, i int"), PartitionSpec.none())
+    loc = os.path.join(tmp_warehouse, "race")
+    worker = (
+        "import sys, pandas as pd\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from getl_spark.lake.table import LakeTable\n"
+        "w = int(sys.argv[1])\n"
+        "t = LakeTable.load(sys.argv[2])\n"
+        "for i in range(15):\n"
+        "    t.refresh()\n"
+        "    t.append_pandas(pd.DataFrame({'w': [w], 'i': [i]}))\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(w), loc],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for w in range(6)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    t = cat.load_table("race")
+    assert t.count_rows() == 90
+    pdf = t.read_pandas()
+    assert len(pdf) == 90
+    assert len(set(zip(pdf["w"], pdf["i"]))) == 90  # every append exactly once
+    snap_ids = [s["snapshot_id"] for s in t.meta["snapshots"]]
+    assert snap_ids == list(range(1, 91))  # strictly serialized commits
+    with open(os.path.join(loc, "metadata", "VERSION")) as f:
+        assert int(f.read()) == t.version

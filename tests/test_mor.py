@@ -172,3 +172,52 @@ def test_random_epoch_assignment_converges(spark, tmp_warehouse, mode):
     for e in range(4):
         pipe.apply_epoch(sliced.filter(F.col("_e") == e).drop("_e"), e)
     assert_final_state_matches(state_pdf(pipe), oracle)
+
+
+def test_incremental_chained_derived_table(spark, tmp_warehouse):
+    """Medallion-style chaining: a derived per-repo counter table fed
+    from the target's append-only MOR snapshots via read_incremental,
+    merged with an expression set-map (t.n + s.n) under snapshot-id
+    idempotency — each target snapshot's delta is applied exactly once
+    even if the consumer re-runs."""
+    import os
+
+    from getl_spark.lake import LakeCatalog, PartitionSpec
+    from getl_spark.schema import parse_ddl
+    from pyspark.sql import functions as F
+
+    pipe = CDCPipeline(spark, os.path.join(tmp_warehouse, "src"), num_buckets=4, merge_mode="mor")
+    cat = LakeCatalog(os.path.join(tmp_warehouse, "derived"))
+    counts = cat.create_table(
+        "repo_counts", parse_ddl("repo string, n bigint"), PartitionSpec.none(),
+        primary_key=["repo"],
+    )
+
+    def sync_derived():
+        t = pipe.target
+        t.refresh()
+        last = int(counts.properties.get("watermark.derived", "0"))
+        cur = t.meta["current_snapshot_id"] or 0
+        if cur <= last:
+            return {"skipped": True}
+        delta = t.read_incremental(spark, last, cur)
+        agg = delta.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            counts.merge(agg)  # ON defaults to the primary key
+            .when_matched_update(set={"n": "t.n + s.n"})
+            .when_not_matched_insert()
+            .idempotency("derived", cur)
+            .execute(spark)
+        )
+
+    pipe.apply_epoch(_ev(spark, [(1, "I", "r1", "a.py", "x"), (2, "I", "r2", "b.py", "y")]), 0)
+    sync_derived()
+    pipe.apply_epoch(_ev(spark, [(3, "U", "r1", "a.py", "x2"), (4, "I", "r1", "c.py", "z")]), 1)
+    res = sync_derived()
+    assert not res.get("skipped")
+    got = {r.repo: r.n for r in counts.read(spark).collect()}
+    assert got == {"r1": 3, "r2": 1}
+    # re-running the consumer with no new target snapshot is a no-op
+    assert sync_derived().get("skipped")
+    got2 = {r.repo: r.n for r in counts.read(spark).collect()}
+    assert got2 == got
