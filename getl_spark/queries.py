@@ -737,6 +737,22 @@ def q_near_dedup(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_near_dedup_cc(spark, sf_dir):
+    """Transitive-closure near-dedup: connected components over the
+    verified pairs, one surviving representative (min id) per cluster.
+    Oracle: DuckDB WITH RECURSIVE reachability."""
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.near_dedup_minhash(
+        d,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=_ND_THRESHOLD,
+        hash_fn="sha256",
+        max_bucket=_MH_CAP,
+        transitive=True,
+    ).select("doc_id", "lang", "source")
+
+
 def q_simhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedupe.simhash_duplicates(d, hash_fn="sha256", max_bucket=_SH_CAP)
@@ -820,6 +836,36 @@ SQL_NEAR_DEDUP = (
 )
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id NOT IN (SELECT b_id FROM verified)
+"""
+)
+
+
+SQL_NEAR_DEDUP_CC = (
+    # RECURSIVE qualifies the whole WITH list (needed by `reach` below)
+    _sql_minhash_core(_MH_HASHES, _MH_BANDS, _MH_CAP).replace(
+        "WITH docs", "WITH RECURSIVE docs", 1
+    )
+    + f"""
+, verified AS (
+  SELECT p.a_id, p.b_id FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a_id
+  JOIN sh sb ON sb.doc_id = p.b_id
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= {_ND_THRESHOLD}
+), edges AS (
+  SELECT a_id AS s, b_id AS d FROM verified
+  UNION
+  SELECT b_id, a_id FROM verified
+), reach AS (
+  -- transitive closure: every node reachable from every node
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+), comp AS (
+  SELECT node, least(node, MIN(r)) AS component FROM reach GROUP BY node
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 """
 )
 
@@ -980,6 +1026,7 @@ def all_queries():
         "simsearch_topk": q_simsearch_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup": q_near_dedup,
+        "near_dedup_cc": q_near_dedup_cc,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_near_dups": q_emb_near_dups,
@@ -1018,6 +1065,7 @@ def all_oracles():
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "near_dedup": SQL_NEAR_DEDUP,
+        "near_dedup_cc": SQL_NEAR_DEDUP_CC,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "emb_near_dups": SQL_EMB_NEAR_DUPS,
