@@ -383,6 +383,31 @@ FROM (
 """
 
 
+def q_cdc_first_writer(spark, sf_dir):
+    """First-writer-wins dedup — getl's Min(ID) keep
+    (files/Manager.groovy:891-932), via dedup.first_writer_dedup."""
+    from getl_spark.dedup import first_writer_dedup
+
+    e = _t(spark, sf_dir, "events").withColumnRenamed("event_id", "seq")
+    first = first_writer_dedup(e, ["user_id", "event_type"], "seq", "props")
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("seq").alias("first_event_id"),
+        F.col("value").alias("first_value"),
+    )
+
+
+SQL_CDC_FIRST_WRITER = """
+SELECT user_id, event_type, event_id AS first_event_id, value AS first_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_cdc_final_state(spark, sf_dir):
     """Full replay reduction: last event per key wins; delete removes."""
     e = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_CASE))
@@ -1010,6 +1035,7 @@ def all_queries():
         "type_convert": q_type_convert,
         "json_extract": q_json_extract,
         "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_first_writer": q_cdc_first_writer,
         "cdc_final_state": q_cdc_final_state,
         "cdc_merge_apply": q_cdc_merge_apply,
         "cdc_incremental_range": q_cdc_incremental_range,
@@ -1049,6 +1075,7 @@ def all_oracles():
         "type_convert": SQL_TYPE_CONVERT,
         "json_extract": SQL_JSON_EXTRACT,
         "cdc_lww_latest": SQL_CDC_LWW_LATEST,
+        "cdc_first_writer": SQL_CDC_FIRST_WRITER,
         "cdc_final_state": SQL_CDC_FINAL_STATE,
         "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
         "cdc_incremental_range": SQL_CDC_INCREMENTAL_RANGE,
