@@ -628,6 +628,49 @@ FROM documents
 """
 
 
+def q_text_bpe_quality(spark, sf_dir):
+    """BPE-style subword proxy count, punctuation ratio, and the
+    composite quality score (Java \\p{Punct} == RE2 [[:punct:]] —
+    both the ASCII punctuation set, so the segmentation is
+    cross-engine)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        F.round(text.punct_ratio(F.col("text")), 4).alias("punct_r"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+SQL_TEXT_BPE_QUALITY = rf"""
+WITH seg AS (
+  SELECT doc_id, text,
+    regexp_replace(regexp_replace(text, '([[:punct:]])', ' \1 ', 'g'),
+                   '([0-9])', ' \1 ', 'g') AS s,
+    regexp_replace(text, '[[:punct:]]', '', 'g') AS nopunct
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(s)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(s), '\s+')) END AS n_bpe,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(nopunct)) * 1.0 / length(text) END AS praw,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
+         ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> list_contains({_SW}, t)))
+              * 1.0 / len(string_split_regex(trim(lower(text)), '\s+')) END AS sraw
+  FROM seg
+)
+SELECT doc_id, n_bpe, round(praw, 4) AS punct_r,
+  round(least(n_tok / 100.0, 1.0) * 0.4
+        + least(sraw * 5.0, 1.0) * 0.4
+        + greatest(1.0 - praw * 4.0, 0.0) * 0.2, 4) AS quality
+FROM feats
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint_sha256(F.col("text")).alias("fp"))
@@ -1045,6 +1088,7 @@ def all_queries():
         "seq_surrogate": q_seq_surrogate,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
+        "text_bpe_quality": q_text_bpe_quality,
         "text_lang": q_text_lang,
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
@@ -1085,6 +1129,7 @@ def all_oracles():
         "seq_surrogate": SQL_SEQ_SURROGATE,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,
+        "text_bpe_quality": SQL_TEXT_BPE_QUALITY,
         "text_lang": SQL_TEXT_LANG,
         "fingerprint": SQL_FINGERPRINT,
         "rolling_fp": SQL_ROLLING_FP,
