@@ -362,3 +362,34 @@ class CDCPipeline:
         return self.state().select(
             "repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256")
         )
+
+
+def incremental_sync(
+    spark: SparkSession,
+    source: LakeTable,
+    target: LakeTable,
+    transform,
+    name: str = "consumer",
+) -> dict:
+    """Exactly-once downstream propagation (the medallion chain):
+    read the SOURCE table's snapshots appended since this consumer's
+    watermark (``read_incremental`` — O(new data), never a rescan),
+    let ``transform(delta_df, target) -> MergeBuilder`` shape the
+    apply, and execute it with idempotency(name, <source snapshot
+    id>) so the consumer watermark advances in the same atomic commit
+    as the derived data. Re-running with no new source snapshot — or
+    crashing after the commit and re-running — is a no-op.
+
+    The source must be append-only across the consumed range (MOR
+    targets and lineage/metrics tables are; a CoW target is not —
+    read a full snapshot there instead).
+    """
+    source.refresh()
+    target.refresh()
+    last = int(target.properties.get(f"watermark.{name}", "0"))
+    cur = source.meta["current_snapshot_id"] or 0
+    if cur <= last:
+        return {"skipped": True, "reason": f"snapshot {cur} <= watermark {last}"}
+    delta = source.read_incremental(spark, last, cur)
+    builder = transform(delta, target)
+    return builder.idempotency(name, cur).execute(spark)

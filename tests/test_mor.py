@@ -193,22 +193,18 @@ def test_incremental_chained_derived_table(spark, tmp_warehouse):
         primary_key=["repo"],
     )
 
-    def sync_derived():
-        t = pipe.target
-        t.refresh()
-        last = int(counts.properties.get("watermark.derived", "0"))
-        cur = t.meta["current_snapshot_id"] or 0
-        if cur <= last:
-            return {"skipped": True}
-        delta = t.read_incremental(spark, last, cur)
+    from getl_spark.pipeline import incremental_sync
+
+    def transform(delta, target):
         agg = delta.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
         return (
-            counts.merge(agg)  # ON defaults to the primary key
+            target.merge(agg)  # ON defaults to the primary key
             .when_matched_update(set={"n": "t.n + s.n"})
             .when_not_matched_insert()
-            .idempotency("derived", cur)
-            .execute(spark)
         )
+
+    def sync_derived():
+        return incremental_sync(spark, pipe.target, counts, transform, name="derived")
 
     pipe.apply_epoch(_ev(spark, [(1, "I", "r1", "a.py", "x"), (2, "I", "r2", "b.py", "y")]), 0)
     sync_derived()
