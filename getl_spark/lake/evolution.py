@@ -34,12 +34,22 @@ _WIDEN_OK = {
     ("int", "decimal"),
     ("bigint", "double"),
     ("bigint", "decimal"),
+    ("tinyint", "double"),
+    ("tinyint", "decimal"),
+    ("smallint", "double"),
+    ("smallint", "decimal"),
     ("float", "double"),
+    ("tinyint", "string"),
+    ("smallint", "string"),
     ("int", "string"),
     ("bigint", "string"),
+    ("float", "string"),
     ("double", "string"),
+    ("boolean", "string"),
+    ("date", "string"),
+    ("timestamp", "string"),
     ("date", "timestamp"),
-    ("decimal", "decimal"),  # scale/precision increase
+    ("decimal", "decimal"),  # integer-digit and scale must not shrink (checked below)
     ("decimal", "double"),
     ("decimal", "string"),
 }
@@ -57,6 +67,16 @@ def check_widen(old_type: str, new_type: str) -> None:
         return
     if (_base(old_s), _base(new_s)) not in _WIDEN_OK:
         raise ValueError(f"illegal widen {old_type} -> {new_type}")
+    if _base(old_s) == "decimal" and _base(new_s) == "decimal":
+        # decimal(p,s) widens only if neither the integer digits (p-s)
+        # nor the scale shrink — otherwise the cast silently loses data
+        op, osc = map(int, old_s[old_s.index("(") + 1 : -1].split(","))
+        np_, nsc = map(int, new_s[new_s.index("(") + 1 : -1].split(","))
+        if nsc < osc or (np_ - nsc) < (op - osc):
+            raise ValueError(
+                f"illegal decimal narrow {old_type} -> {new_type} "
+                f"(integer digits {op - osc}->{np_ - nsc}, scale {osc}->{nsc})"
+            )
 
 
 def evolve_schema(schema: StructType, change: dict) -> StructType:

@@ -392,3 +392,18 @@ def test_multiprocess_commit_race_loses_nothing(tmp_warehouse):
     assert snap_ids == list(range(1, 91))  # strictly serialized commits
     with open(os.path.join(loc, "metadata", "VERSION")) as f:
         assert int(f.read()) == t.version
+
+
+def test_widen_matrix_decimal_guard():
+    from getl_spark.lake.evolution import check_widen
+
+    check_widen("decimal(10,2)", "decimal(18,2)")
+    check_widen("decimal(10,2)", "decimal(20,4)")
+    check_widen("smallint", "double")
+    check_widen("timestamp", "string")
+    with pytest.raises(ValueError, match="decimal narrow"):
+        check_widen("decimal(18,6)", "decimal(10,2)")
+    with pytest.raises(ValueError, match="decimal narrow"):
+        check_widen("decimal(10,2)", "decimal(12,6)")  # integer digits shrink 8->6
+    with pytest.raises(ValueError, match="illegal widen"):
+        check_widen("bigint", "int")
