@@ -104,6 +104,12 @@ def evolve_schema(schema: StructType, change: dict) -> StructType:
         idx = schema.fieldNames().index(change["column"])
         old = fields[idx]
         fields[idx] = StructField(change["new_name"], old.dataType, old.nullable)
+    elif op == "drop":
+        if change["column"] not in schema.fieldNames():
+            raise ValueError(f"column {change['column']} does not exist")
+        fields = [f for f in fields if f.name != change["column"]]
+        if not fields:
+            raise ValueError("cannot drop the last column")
     else:
         raise ValueError(f"unknown evolution op {op}")
     return StructType(fields)
@@ -140,5 +146,10 @@ def upgrade_exprs(table, from_sid: int, to_sid: int) -> list:
             exprs[entry["column"]] = exprs[entry["column"]].cast(entry["type"])
         elif op == "rename":
             exprs[entry["new_name"]] = exprs.pop(entry["column"])
+        elif op == "drop":
+            # pop, don't just ignore: if the name is later re-added, the
+            # re-added column must read NULL from pre-drop files, not
+            # resurrect the old column's values
+            exprs.pop(entry["column"], None)
     target = table.schema(to_sid)
     return [exprs[f.name].cast(f.dataType).alias(f.name) for f in target.fields]

@@ -669,6 +669,20 @@ class LakeTable:
 
         apply_evolution(self, {"op": "rename", "column": name, "new_name": new_name})
 
+    def drop_column(self, name: str) -> None:
+        """Drop a column (lazy: old files project it out on read; a
+        later re-added column of the same name reads NULL from
+        pre-drop files). Partition and primary-key columns cannot be
+        dropped — bucket pruning / MERGE keys depend on them."""
+        from getl_spark.lake.evolution import apply_evolution
+
+        if name in self.partition_spec.columns:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        pk = self.properties.get("primary.key", "")
+        if name in [k.strip() for k in pk.split(",") if k]:
+            raise ValueError(f"cannot drop primary-key column {name!r}")
+        apply_evolution(self, {"op": "drop", "column": name})
+
     # ------------------------------------------------------------ maintenance
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """Rewrite buckets whose live file count is high into one file each.

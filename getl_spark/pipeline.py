@@ -277,6 +277,9 @@ class CDCPipeline:
         elif kind == "rename_column":
             if change["new_name"] not in self.target.schema().fieldNames():
                 self.target.rename_column(change["column_name"], change["new_name"])
+        elif kind == "drop_column":
+            if change["column_name"] in self.target.schema().fieldNames():
+                self.target.drop_column(change["column_name"])
         else:
             raise ValueError(f"unknown schema change {kind}")
 

@@ -407,3 +407,31 @@ def test_widen_matrix_decimal_guard():
         check_widen("decimal(10,2)", "decimal(12,6)")  # integer digits shrink 8->6
     with pytest.raises(ValueError, match="illegal widen"):
         check_widen("bigint", "int")
+
+
+def test_drop_column_lazy_and_no_resurrection(spark, tmp_warehouse):
+    """Dropping a column projects it out of old files on read; a
+    re-added column of the same name must read NULL from pre-drop
+    files (not resurrect old values). Partition/primary-key columns
+    are protected."""
+    cat = LakeCatalog(tmp_warehouse)
+    t = cat.create_table("d", SCHEMA, PartitionSpec.bucket(4, "repo"),
+                         primary_key=["repo", "path"])
+    t.append(mk(spark, [row("a/r1", "f1.py", 1, lang="py")]))
+    t.drop_column("lang")
+    assert "lang" not in t.read(spark).columns
+    # re-add under the same name: old files read NULL, new rows carry values
+    t.add_column("lang", "string")
+    df2 = spark.createDataFrame(
+        [("b/r2", "g.py", "c" + "0" * 39, "new", 2, "go")],
+        parse_ddl("repo string, path string, commit string, content string, _seq bigint, lang string"),
+    )
+    t.append(df2.select(*t.schema().fieldNames()))
+    got = {r.path: r.lang for r in t.read(spark).collect()}
+    assert got == {"f1.py": None, "g.py": "go"}
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("repo")
+    with pytest.raises(ValueError, match="primary-key column"):
+        t.drop_column("path")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_column("nope")
