@@ -366,6 +366,31 @@ class CDCPipeline:
             "repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256")
         )
 
+    def metrics(self, spark: SparkSession | None = None) -> DataFrame:
+        """Per-epoch throughput from the lineage table: events, bytes,
+        apply latency, and events/s (getl ProcessTime / readRows
+        counters as a queryable table)."""
+        spark = spark or self.spark
+        lin = self.lineage.table.read(spark)
+        return (
+            lin.groupBy("epoch")
+            .agg(
+                F.sum("event_count").alias("events"),
+                F.sum("bytes").alias("bytes"),
+                F.max("apply_latency_ms").alias("apply_latency_ms"),
+                F.min("seq_min").alias("seq_min"),
+                F.max("seq_max").alias("seq_max"),
+            )
+            .withColumn(
+                "events_per_sec",
+                F.when(
+                    F.col("apply_latency_ms") > 0,
+                    F.col("events") / (F.col("apply_latency_ms") / 1000.0),
+                ).otherwise(F.lit(None).cast("double")),
+            )
+            .orderBy("epoch")
+        )
+
 
 def incremental_sync(
     spark: SparkSession,

@@ -124,3 +124,17 @@ def test_merge_mode_checkpoints(spark, tmp_warehouse, event_df):
     hist = pipe.checkpoints.history(spark, "tail").toPandas()
     assert len(hist) == 1  # single-row upsert mode
     assert hist["epoch"].iloc[0] == 3
+
+
+def test_metrics_view(spark, tmp_warehouse):
+    from getl_spark.events import generate_change_events
+    from getl_spark.pipeline import CDCPipeline
+
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=4)
+    ev = generate_change_events(spark, 1000, n_keys=100, n_repos=4, seed=3)
+    pipe.replay(ev, 500)
+    m = pipe.metrics().collect()
+    assert [r.epoch for r in m] == [0, 1]
+    assert sum(r.events for r in m) == 1000
+    assert all(r.events_per_sec is None or r.events_per_sec > 0 for r in m)
+    assert m[0].seq_min == 1 and m[-1].seq_max == 1000
