@@ -67,6 +67,7 @@ class CDCPipeline:
         target_table: str = "target",
         lww_strategy: str = "broadcast",
         merge_mode: str = "cow",
+        broadcast_cap: int = 5_000_000,
     ):
         """``merge_mode``:
 
@@ -88,8 +89,12 @@ class CDCPipeline:
         self.name = name
         self.keys = list(keys)
         # "broadcast" is safe because the event log guarantees unique
-        # seq (FIXTURES §2) and falls back to "agg" over the cap anyway
+        # seq (FIXTURES §2); epochs whose key count exceeds
+        # ``broadcast_cap`` fall back to the "agg" strategy (the key
+        # count comes free from the lineage aggregation — no extra job)
         self.lww_strategy = lww_strategy
+        self.broadcast_cap = int(broadcast_cap)
+        self.last_lww_strategy: str | None = None  # effective strategy of the last epoch
         self.merge_mode = merge_mode
         self.catalog = LakeCatalog(warehouse)
         self.target: LakeTable = self.catalog.create_table(
@@ -142,9 +147,11 @@ class CDCPipeline:
                     F.max("_wseq").alias("seq_max"),
                     F.sum("_n").alias("event_count"),
                     F.sum("_by").alias("bytes"),
+                    F.count(F.lit(1)).alias("_kc"),
                 )
                 .collect()
             )
+            n_keys = sum(int(r["_kc"]) for r in lin_rows)
             lin = pd.DataFrame(
                 [
                     {
@@ -162,18 +169,7 @@ class CDCPipeline:
             )
             touched = [int(b) for b in lin["partition_id"]] if len(lin) else []
 
-            if self.lww_strategy == "broadcast":
-                # winner events = broadcast semi-join on the unique seq;
-                # the per-key agg above IS the winner-discovery pass
-                winners = events.join(
-                    F.broadcast(per_key.select(F.col("_wseq").alias("seq"))),
-                    "seq",
-                    "inner",
-                )
-            else:
-                winners = lww_dedup(
-                    events, self.keys, "seq", "commit", strategy=self.lww_strategy
-                )
+            winners = self._select_winners(events, per_key, n_keys)
             # Deletes become TOMBSTONES (_deleted=true) rather than
             # physical row removal, and every arm is guarded by
             # s._seq > t._seq: the per-key state is monotonic in seq,
@@ -252,6 +248,34 @@ class CDCPipeline:
         finally:
             if per_key is not None:
                 per_key.unpersist()
+
+    def _select_winners(self, events: DataFrame, per_key: DataFrame, n_keys: int) -> DataFrame:
+        """Pick the epoch's LWW winner rows under the configured strategy.
+
+        The broadcast fast path reuses ``per_key`` (already persisted —
+        the per-key agg above IS the winner-discovery pass) and semi-
+        joins the raw stream on the globally-unique seq, so the wide
+        content rows never shuffle. It is guarded by ``broadcast_cap``:
+        a 10^8-key epoch would OOM the driver building the broadcast
+        winner set, so above the cap we fall back to the ``agg``
+        strategy (max_by shuffle, no broadcast, no driver collection).
+        ``n_keys`` is exact and free — summed from the lineage agg.
+
+        Reference semantics: getl's set-based merge collapse
+        (jdbc/JDBCDriver.groovy:2202-2268) keeps one row per key too;
+        the strategy choice is purely physical.
+        """
+        strategy = self.lww_strategy
+        if strategy == "broadcast" and n_keys > self.broadcast_cap:
+            strategy = "agg"
+        self.last_lww_strategy = strategy
+        if strategy == "broadcast":
+            return events.join(
+                F.broadcast(per_key.select(F.col("_wseq").alias("seq"))),
+                "seq",
+                "inner",
+            )
+        return lww_dedup(events, self.keys, "seq", "commit", strategy=strategy)
 
     def _align_source_columns(self, src: DataFrame) -> DataFrame:
         """Map incoming event columns through the target's rename

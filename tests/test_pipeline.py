@@ -138,3 +138,43 @@ def test_metrics_view(spark, tmp_warehouse):
     assert sum(r.events for r in m) == 1000
     assert all(r.events_per_sec is None or r.events_per_sec > 0 for r in m)
     assert m[0].seq_min == 1 and m[-1].seq_max == 1000
+
+
+def test_broadcast_cap_falls_back_to_agg(spark, tmp_warehouse, event_df, oracle_final):
+    """Scale guard: an epoch whose key count exceeds broadcast_cap must
+    NOT build a driver-side broadcast winner set — it falls back to the
+    agg (max_by) strategy and produces the identical final state."""
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, broadcast_cap=10)
+    results = pipe.replay(event_df, EPOCH)
+    assert all(r.applied for r in results)
+    # 250 keys > cap of 10: every epoch must have taken the agg path
+    assert pipe.last_lww_strategy == "agg"
+    assert_final_state_matches(engine_state_pdf(pipe), oracle_final)
+
+
+def test_broadcast_cap_plan_has_no_broadcast(spark, tmp_warehouse, event_df):
+    """The fallback winners plan contains no broadcast at all (it is a
+    pure groupBy/max_by — no join), while the under-cap path does."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spec_bucket = F.pmod(F.xxhash64("repo"), F.lit(8)).cast("int").alias("_pb")
+    per_key = (
+        event_df.groupBy(spec_bucket, "repo", "path")
+        .agg(F.max("seq").alias("_wseq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        over = CDCPipeline(spark, tmp_warehouse + "/a", num_buckets=8, broadcast_cap=10)
+        winners = over._select_winners(event_df, per_key, n_keys=250)
+        assert over.last_lww_strategy == "agg"
+        plan = winners._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
+
+        under = CDCPipeline(spark, tmp_warehouse + "/b", num_buckets=8, broadcast_cap=1000)
+        winners2 = under._select_winners(event_df, per_key, n_keys=250)
+        assert under.last_lww_strategy == "broadcast"
+        plan2 = winners2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan2
+    finally:
+        per_key.unpersist()
