@@ -131,11 +131,14 @@ def main(argv=None):
         pipe = CDCPipeline(spark, args.warehouse, name=args.pipeline)
         t0 = time.monotonic()
         before = pipe.target.count_rows()
-        pipe.compact()
         purged = None
         if args.purge_tombstones_below is not None:
+            # purge_tombstones compacts first in MOR mode — a separate
+            # compact() here would be a second full-table rewrite
             pipe.purge_tombstones(args.purge_tombstones_below)
             purged = args.purge_tombstones_below
+        else:
+            pipe.compact()
         pipe.target.refresh()
         print(
             json.dumps(

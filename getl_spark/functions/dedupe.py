@@ -262,7 +262,10 @@ def jaccard_verify(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 25
+    pairs: DataFrame,
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component) for an undirected edge list (a_id, b_id);
     component = the minimum node id reachable (deterministic
@@ -272,29 +275,43 @@ def connected_components(
     min of its label and its neighbors' labels — one edges-sized
     shuffle per round, converging in O(cluster diameter) rounds (dedup
     clusters are shallow; 25 covers diameter-25 chains, and the loop
-    exits early on convergence). localCheckpoint truncates the plan
-    lineage each round so the DAG stays O(1) deep at any scale — on a
-    long-lived production cluster prefer reliable checkpointing
-    (setCheckpointDir + .checkpoint(): localCheckpoint blocks die with
-    their executor).
+    exits early on convergence). Checkpointing truncates the plan
+    lineage each round so the DAG stays O(1) deep at any scale:
+    ``checkpoint_dir=None`` (default) uses localCheckpoint — fast, but
+    blocks die with their executor; pass a ``checkpoint_dir`` on a
+    long-lived production cluster for reliable (HDFS/S3) checkpoints
+    that survive executor loss.
+
+    If the loop exits without converging (clusters deeper than
+    ``max_iterations``), labels would silently diverge from the
+    transitive closure; ``strict=True`` raises instead, and the
+    default logs a warning so near_dedup callers see it.
     """
+    import warnings
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    edges = _ckpt(
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("ncomp"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -302,7 +319,6 @@ def connected_components(
                     F.col("component"), F.coalesce("ncomp", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -313,6 +329,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — components are "
+            f"an under-merged approximation of the transitive closure; "
+            f"raise max_iterations"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -147,10 +147,33 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(location: str) -> "LakeTable":
+    def _live_version(location: str) -> int:
+        """The table's live version = max committed metadata file.
+
+        VERSION is a hint, not the source of truth: a writer that won
+        the os.link claim for v_N but stalled before its VERSION bump
+        can write the pointer AFTER adopters have advanced it past N,
+        transiently rolling it back. Every v<N>.metadata.json is linked
+        atomically from an fsync'd temp file (never partial), so the
+        max N present is always a complete, adopted-or-adoptable
+        commit — deriving the version from the listing makes a stale
+        pointer harmless to readers without requiring them to write.
+        """
         vfile = os.path.join(location, "metadata", "VERSION")
         with open(vfile) as f:
             version = int(f.read().strip())
+        for p in glob.glob(os.path.join(location, "metadata", "v*.metadata.json")):
+            try:
+                n = int(os.path.basename(p)[1:].split(".", 1)[0])
+            except ValueError:
+                continue
+            if n > version:
+                version = n
+        return version
+
+    @staticmethod
+    def load(location: str) -> "LakeTable":
+        version = LakeTable._live_version(location)
         with open(os.path.join(location, "metadata", f"v{version}.metadata.json")) as f:
             meta = json.load(f)
         return LakeTable(location, meta, version)
@@ -250,7 +273,20 @@ class LakeTable:
                 os.unlink(tmp)
             except OSError:
                 pass
-        _atomic_write(vfile, str(next_v))
+        # Success-path bump is guarded: if adopters already advanced
+        # VERSION past next_v while we stalled between link and here,
+        # writing next_v would roll the pointer back and hide their
+        # acknowledged commits from pointer-trusting readers. (load()
+        # additionally derives the live version from the metadata-file
+        # listing, so even the residual read-then-write race window
+        # cannot make a commit invisible.)
+        try:
+            with open(vfile) as f:
+                current = int(f.read().strip())
+        except (OSError, ValueError):
+            current = -1
+        if current < next_v:
+            _atomic_write(vfile, str(next_v))
         self.meta, self.version = new_meta, next_v
         return True
 
@@ -606,8 +642,18 @@ class LakeTable:
             if to_snapshot_id is not None
             else self.meta["current_snapshot_id"]
         )
+        # empty-result frames are pinned to the `to` snapshot's schema,
+        # matching the non-empty path (a to_id below the latest schema
+        # evolution must not see the current schema)
+        def _empty():
+            try:
+                sid = self.snapshot(to_id)["schema_id"] if to_id else None
+            except StopIteration:
+                sid = None
+            return spark.createDataFrame([], self.schema(sid))
+
         if to_id is None or to_id <= from_snapshot_id:
-            return spark.createDataFrame([], self.schema())
+            return _empty()
         span = [
             s
             for s in self.meta["snapshots"]
@@ -629,7 +675,7 @@ class LakeTable:
             f for f in self.current_files(to_id) if f["path"] not in from_files
         ]
         if not new_files:
-            return spark.createDataFrame([], self.schema())
+            return _empty()
         target_sid = self.snapshot(to_id)["schema_id"]
         by_sid: dict[int, list[str]] = {}
         for f in new_files:

@@ -422,6 +422,8 @@ def incremental_sync(
     target: LakeTable,
     transform,
     name: str = "consumer",
+    on_non_append: str = "error",
+    rebuild_transform=None,
 ) -> dict:
     """Exactly-once downstream propagation (the medallion chain):
     read the SOURCE table's snapshots appended since this consumer's
@@ -432,16 +434,46 @@ def incremental_sync(
     as the derived data. Re-running with no new source snapshot — or
     crashing after the commit and re-running — is a no-op.
 
-    The source must be append-only across the consumed range (MOR
-    targets and lineage/metrics tables are; a CoW target is not —
-    read a full snapshot there instead).
+    The consumed range must be append-only. MOR pipeline targets and
+    lineage/metrics tables are append-only *between maintenance runs*
+    — but ``compact()`` / ``purge_tombstones()`` (and the CLI
+    ``compact`` command) write overwrite snapshots, after which every
+    range crossing them is permanently non-incremental.
+    ``on_non_append`` picks the recovery:
+
+    - ``"error"`` (default): raise — correct when the caller schedules
+      maintenance and catch-up so they never interleave.
+    - ``"rebuild"``: fall back to a FULL read of the source at the
+      current snapshot and apply ``rebuild_transform(full_df, target)
+      -> MergeBuilder`` (defaults to ``transform``), advancing the
+      watermark past the overwrite in the same atomic commit. Use the
+      default only when ``transform`` is a convergent full-state
+      upsert (a LWW MERGE is); increment-style transforms (counters,
+      sums of deltas) MUST pass a ``rebuild_transform`` that rebuilds
+      the derived state from scratch, or they will double-count.
     """
+    if on_non_append not in ("error", "rebuild"):
+        raise ValueError("on_non_append must be 'error' or 'rebuild'")
     source.refresh()
     target.refresh()
     last = int(target.properties.get(f"watermark.{name}", "0"))
     cur = source.meta["current_snapshot_id"] or 0
     if cur <= last:
         return {"skipped": True, "reason": f"snapshot {cur} <= watermark {last}"}
-    delta = source.read_incremental(spark, last, cur)
+    try:
+        delta = source.read_incremental(spark, last, cur)
+    except ValueError as e:
+        if on_non_append != "rebuild":
+            raise ValueError(
+                f"{e}. The source was compacted/overwritten since this "
+                f"consumer's watermark ({last}); pass "
+                f"on_non_append='rebuild' (with a rebuild_transform for "
+                f"increment-style consumers) to catch up from a full snapshot."
+            ) from e
+        full = source.read(spark, snapshot_id=cur)
+        builder = (rebuild_transform or transform)(full, target)
+        res = builder.idempotency(name, cur).execute(spark)
+        res["rebuild"] = True
+        return res
     builder = transform(delta, target)
     return builder.idempotency(name, cur).execute(spark)

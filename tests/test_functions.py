@@ -214,3 +214,36 @@ def test_near_dedup_transitive_keeps_one_per_cluster(spark):
     )
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [1, 9], f"one representative per cluster expected, got {ids}"
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoints (survives executor loss on a real cluster) without
+    changing the result."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id bigint, b_id bigint"
+    )
+    comp = {
+        r.node: r.component
+        for r in dedupe.connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))  # checkpoints actually landed
+
+
+def test_connected_components_unconverged_warns_and_strict_raises(spark):
+    """A chain deeper than max_iterations must not silently return
+    under-merged labels."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "a_id bigint, b_id bigint"
+    )
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        dedupe.connected_components(chain, max_iterations=1).collect()
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedupe.connected_components(chain, max_iterations=1, strict=True)

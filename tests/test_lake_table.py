@@ -435,3 +435,65 @@ def test_drop_column_lazy_and_no_resurrection(spark, tmp_warehouse):
         t.drop_column("path")
     with pytest.raises(ValueError, match="does not exist"):
         t.drop_column("nope")
+
+
+def test_version_regression_is_invisible_to_readers(spark, tmp_warehouse):
+    """A stalled claimant's late VERSION write can roll the pointer
+    back below acknowledged commits. load()/refresh() derive the live
+    version from the metadata-file listing, so a regressed pointer
+    never hides committed snapshots, and the next writer heals it."""
+    cat = LakeCatalog(tmp_warehouse)
+    t = cat.create_table("t_reg", SCHEMA, PartitionSpec.bucket(4, "repo"))
+    t.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    t.append(mk(spark, [row("a/r1", "f2.py", 2)]))
+    t.append(mk(spark, [row("a/r1", "f3.py", 3)]))
+    live = t.version
+    meta_dir = os.path.join(tmp_warehouse, "t_reg", "metadata")
+    vfile = os.path.join(meta_dir, "VERSION")
+    with open(vfile, "w") as f:
+        f.write("1")  # the stalled writer's late rollback
+    t2 = cat.load_table("t_reg")
+    assert t2.version == live  # reader sees the real head, not the pointer
+    assert t2.read(spark).count() == 3
+    t2.update_properties({"heal": "1"})  # next writer advances past the head
+    with open(vfile) as f:
+        assert int(f.read()) == live + 1
+
+
+def test_success_path_version_write_is_guarded(tmp_warehouse):
+    """_try_commit must not roll VERSION back when adopters advanced it
+    past next_v while this writer stalled between link and bump."""
+    import json
+    import shutil
+
+    cat = LakeCatalog(tmp_warehouse)
+    t = cat.create_table("t_guard", SCHEMA, PartitionSpec.bucket(4, "repo"))
+    meta_dir = os.path.join(tmp_warehouse, "t_guard", "metadata")
+    vfile = os.path.join(meta_dir, "VERSION")
+    # simulate "the world moved on": v5 exists and VERSION points at it
+    shutil.copyfile(
+        os.path.join(meta_dir, "v0.metadata.json"),
+        os.path.join(meta_dir, "v5.metadata.json"),
+    )
+    with open(vfile, "w") as f:
+        f.write("5")
+    # stale handle (version 0) wins the link for v1 — its late bump
+    # must NOT write 1 over the current 5
+    new_meta = json.loads(json.dumps(t.meta))
+    new_meta["properties"]["stale"] = "1"
+    assert t._try_commit(new_meta) is True
+    with open(vfile) as f:
+        assert int(f.read()) == 5
+
+
+def test_read_incremental_empty_range_pins_snapshot_schema(spark, table):
+    """Empty-result frames must carry the `to` snapshot's schema, not
+    the table's current one — a consumer pinned below a schema
+    evolution sees a consistent shape whether or not rows came back."""
+    table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    snap1 = table.meta["current_snapshot_id"]
+    pre_cols = set(table.schema().fieldNames())
+    table.add_column("stars", "int")
+    empty = table.read_incremental(spark, snap1, snap1)
+    assert set(empty.columns) == pre_cols  # not the evolved schema
+    assert empty.count() == 0

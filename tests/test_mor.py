@@ -217,3 +217,71 @@ def test_incremental_chained_derived_table(spark, tmp_warehouse):
     assert sync_derived().get("skipped")
     got2 = {r.repo: r.n for r in counts.read(spark).collect()}
     assert got2 == got
+
+
+def test_incremental_sync_recovers_after_compaction(spark, tmp_warehouse):
+    """Maintenance wedge recovery: compact() writes an overwrite
+    snapshot, so the naive consumer would raise forever on every
+    future range. on_non_append='rebuild' catches up from a full
+    snapshot, advances the watermark atomically, and subsequent
+    incremental syncs work again."""
+    import os
+
+    from getl_spark.lake import LakeCatalog, PartitionSpec
+    from getl_spark.pipeline import incremental_sync
+    from getl_spark.schema import parse_ddl
+    from pyspark.sql import functions as F
+
+    pipe = CDCPipeline(spark, os.path.join(tmp_warehouse, "src"), num_buckets=4, merge_mode="mor")
+    cat = LakeCatalog(os.path.join(tmp_warehouse, "derived"))
+    live = cat.create_table(
+        "live_paths", parse_ddl("repo string, n bigint"), PartitionSpec.none(),
+        primary_key=["repo"],
+    )
+
+    def transform(delta, target):
+        agg = delta.filter(~F.col("_deleted")).groupBy("repo").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return (
+            target.merge(agg)
+            .when_matched_update(set={"n": "t.n + s.n"})
+            .when_not_matched_insert()
+        )
+
+    def rebuild(full, target):
+        # full-state rebuild: resolved live-path count per repo
+        from getl_spark.dedup import lww_dedup
+
+        resolved = lww_dedup(full, ["repo", "path"], "_seq", "commit", strategy="agg")
+        agg = resolved.filter(~F.col("_deleted")).groupBy("repo").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return (
+            target.merge(agg)
+            .when_matched_update(set={"n": "s.n"})
+            .when_not_matched_insert()
+        )
+
+    pipe.apply_epoch(_ev(spark, [(1, "I", "r1", "a.py", "x"), (2, "I", "r2", "b.py", "y")]), 0)
+    incremental_sync(spark, pipe.target, live, transform, name="c")
+    pipe.compact()  # overwrite snapshot lands mid-chain
+    pipe.apply_epoch(_ev(spark, [(3, "I", "r1", "c.py", "z")]), 1)
+    # default mode: instructive error, not a silent wrong answer
+    import pytest as _p
+
+    with _p.raises(ValueError, match="rebuild"):
+        incremental_sync(spark, pipe.target, live, transform, name="c")
+    res = incremental_sync(
+        spark, pipe.target, live, transform, name="c",
+        on_non_append="rebuild", rebuild_transform=rebuild,
+    )
+    assert res.get("rebuild") and not res.get("skipped")
+    got = {r.repo: r.n for r in live.read(spark).collect()}
+    assert got == {"r1": 2, "r2": 1}
+    # chain resumes incrementally after the rebuild
+    pipe.apply_epoch(_ev(spark, [(4, "I", "r2", "d.py", "w")]), 2)
+    res2 = incremental_sync(spark, pipe.target, live, transform, name="c")
+    assert not res2.get("skipped") and not res2.get("rebuild")
+    got2 = {r.repo: r.n for r in live.read(spark).collect()}
+    assert got2 == {"r1": 2, "r2": 2}
