@@ -12,7 +12,7 @@ fingerprinting).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A small, fixed stopword list used by quality scoring. Deliberately
@@ -116,6 +116,68 @@ def rolling_hashes(col, k: int = 8) -> Column:
     n_windows = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n_windows)
     return F.transform(idx, lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))))
+
+
+def winnow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS sketch): from the stream of k-gram rolling
+    hashes, keep only the MINIMUM hash of every sliding window of
+    ``w`` consecutive hashes, breaking ties toward the RIGHTMOST
+    position. Returns (id_col, wpos, h) — the distinct selected
+    (position, hash) pairs, ~2/(w+1) of the raw hash stream.
+
+    This is the select step that makes rolling fingerprints sublinear
+    at corpus scale: a 100-TB dedup stores the winnowed sketch, not
+    one hash per character (the guarantee: any shared substring of
+    length >= w+k-1 contributes at least one common selected hash).
+
+    Physical plan: explode to one row per k-gram, ONE shuffle on
+    id_col for the sliding-window min (min over a struct (h, -pos) —
+    lexicographic, so ties pick the larger pos), then a map-side-
+    partial distinct. ``hash_fn`` "xxhash64" (bigint, fast path) or
+    "sha60" (15-hex-char sha256 slice — cross-engine, used by the
+    DuckDB oracle query).
+    """
+    if hash_fn not in ("xxhash64", "sha60"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'sha60'")
+    norm = normalize_for_fingerprint(F.col(text_col))
+    m = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    base = df.select(
+        id_col,
+        norm.alias("_n"),
+        m.alias("_m"),
+        F.explode(F.sequence(F.lit(1), m)).alias("pos"),
+    )
+    gram = F.substring(F.col("_n"), F.col("pos"), F.lit(k))
+    h = (
+        F.xxhash64(gram)
+        if hash_fn == "xxhash64"
+        else F.substring(F.sha2(gram, 256), 1, 15)
+    )
+    hashed = base.select(id_col, "_m", "pos", h.alias("h"))
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    sel = F.min(F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))).over(frame)
+    return (
+        hashed.withColumn("_sel", sel)
+        # a window is complete at pos >= w; a doc shorter than w hashes
+        # contributes its single all-rows window (ending at pos == _m)
+        .filter((F.col("pos") >= w) | ((F.col("_m") < w) & (F.col("pos") == F.col("_m"))))
+        .select(
+            F.col(id_col),
+            (-F.col("_sel.np")).cast("bigint").alias("wpos"),
+            F.col("_sel.h").alias("h"),
+        )
+        .distinct()
+    )
 
 
 def char_shingles(col, k: int = 5) -> Column:

@@ -711,6 +711,44 @@ FROM (
 """
 
 
+def q_rolling_fp_winnow(spark, sf_dir):
+    """Winnowing select over the rolling k-gram stream: min hash per
+    sliding window of w hashes, rightmost-min tie rule (MOSS). The
+    sublinear sketch a 100-TB dedup stores — vs rolling_fp's one row
+    per character. Output (doc_id, wpos, h), cross-engine sha mode."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return text.winnow(d, k=8, w=4, hash_fn="sha60")
+
+
+# DuckDB replicates the (h, -pos) struct-min with a fixed-width string
+# key: h is always 15 hex chars, so h || zero-padded(1e8 - pos) orders
+# lexicographically exactly like the struct (min h, tie -> max pos).
+SQL_ROLLING_FP_WINNOW = r"""
+WITH hashed AS (
+  SELECT doc_id, m, i AS pos,
+         substr(sha256(substr(norm, i, 8)), 1, 15) AS h
+  FROM (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+           greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 7, 1) AS m
+    FROM documents WHERE doc_id < 100
+  ), unnest(generate_series(1, m)) AS t(i)
+),
+sel AS (
+  SELECT doc_id, m, pos,
+         min(h || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS key
+  FROM hashed
+)
+SELECT DISTINCT doc_id,
+       100000000 - CAST(substr(key, 16, 9) AS BIGINT) AS wpos,
+       substr(key, 1, 15) AS h
+FROM sel
+WHERE pos >= 4 OR (m < 4 AND pos = m)
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedupe.exact_duplicates(d).select("fingerprint", "keep_id", "n")
@@ -1092,6 +1130,7 @@ def all_queries():
         "text_lang": q_text_lang,
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
+        "rolling_fp_winnow": q_rolling_fp_winnow,
         "dedup_exact": q_dedup_exact,
         "simsearch_topk": q_simsearch_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1133,6 +1172,7 @@ def all_oracles():
         "text_lang": SQL_TEXT_LANG,
         "fingerprint": SQL_FINGERPRINT,
         "rolling_fp": SQL_ROLLING_FP,
+        "rolling_fp_winnow": SQL_ROLLING_FP_WINNOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

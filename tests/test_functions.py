@@ -247,3 +247,54 @@ def test_connected_components_unconverged_warns_and_strict_raises(spark):
         dedupe.connected_components(chain, max_iterations=1).collect()
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedupe.connected_components(chain, max_iterations=1, strict=True)
+
+
+def test_winnow_selects_min_per_window_rightmost_tie(spark):
+    """Winnowing invariants on a tiny doc: every selected pos/hash is
+    the window min (rightmost on ties), density ~2/(w+1), and any
+    substring of length >= w+k-1 shared by two docs yields at least
+    one common selected hash (the MOSS guarantee)."""
+    from getl_spark.functions import text as T
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX AAA " + shared + " SUFFIX BBB"),
+            (2, "totally different lead-in words " + shared),
+            (3, "no overlap here at all with anything else whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    k, w = 8, 4
+    sel = T.winnow(docs, k=k, w=w).collect()
+    # reference winnow in plain python over the raw hash stream:
+    raw = {
+        (r.doc_id, r.pos, r.h)
+        for r in docs.select(
+            "doc_id",
+            F.posexplode(T.rolling_hashes(F.col("text"), k=k)).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .collect()
+    }
+    by_doc = {}
+    for d, p, h in raw:
+        by_doc.setdefault(d, {})[p] = h
+    expected = set()
+    for d, hs in by_doc.items():
+        m = len(hs)
+        for end in range(min(w, m), m + 1):
+            lo = max(1, end - w + 1)
+            window = [(hs[p], -p) for p in range(lo, end + 1)]
+            hmin, negp = min(window)
+            expected.add((d, -negp, hmin))
+    got = {(r.doc_id, r.wpos, r.h) for r in sel}
+    assert got == expected
+    # the shared substring must produce a common selected hash for 1 and 2
+    h1 = {h for (d, p, h) in got if d == 1}
+    h2 = {h for (d, p, h) in got if d == 2}
+    h3 = {h for (d, p, h) in got if d == 3}
+    assert h1 & h2, "shared substring produced no common winnowed hash"
+    assert not (h1 & h3)
+    # density: selected fraction well below the raw stream
+    assert len(got) < 0.6 * len(raw)
