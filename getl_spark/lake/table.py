@@ -358,7 +358,10 @@ class LakeTable:
                 out = df.withColumn("_bucket", spec.bucket_expr())
                 # skew salting: a hot bucket (zipf repo) fans out over
                 # `write.salt` tasks instead of serializing on one.
-                salt = int(self.properties.get("write.salt", "1"))
+                raw_salt = str(self.properties.get("write.salt", "1"))
+                # "auto" is resolved by the pipeline before its first
+                # write; a direct table write before that is unsalted
+                salt = int(raw_salt) if raw_salt.isdigit() else 1
                 if salt > 1:
                     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
                     out = out.repartition(spec.num_buckets * salt, F.col("_bucket"), salt_col)

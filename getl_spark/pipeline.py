@@ -63,7 +63,7 @@ class CDCPipeline:
         num_buckets: int = 16,
         keys: tuple = ("repo", "path"),
         checkpoint_method: str = "INSERT",
-        write_salt: int = 1,
+        write_salt: int | str = 1,
         target_table: str = "target",
         lww_strategy: str = "broadcast",
         merge_mode: str = "cow",
@@ -85,6 +85,8 @@ class CDCPipeline:
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError("merge_mode must be 'cow' or 'mor'")
+        if isinstance(write_salt, str) and write_salt != "auto":
+            raise ValueError("write_salt must be an int or 'auto'")
         self.spark = spark
         self.name = name
         self.keys = list(keys)
@@ -152,6 +154,12 @@ class CDCPipeline:
                 .collect()
             )
             n_keys = sum(int(r["_kc"]) for r in lin_rows)
+
+            # write_salt="auto": size the skew salt from this (first)
+            # epoch's observed histogram and persist it as the table
+            # property so every later epoch and process reuses it
+            if self.target.properties.get("write.salt") == "auto":
+                self._resolve_auto_salt(events, per_key)
             lin = pd.DataFrame(
                 [
                     {
@@ -248,6 +256,42 @@ class CDCPipeline:
         finally:
             if per_key is not None:
                 per_key.unpersist()
+
+    def _resolve_auto_salt(self, events: DataFrame, per_key: DataFrame) -> None:
+        """Turn write.salt="auto" into a concrete factor (SURVEY §4.2 —
+        getl's manual ``segmented`` sharding, proc/FileCopier.groovy:49+,
+        sized automatically from the observed histogram instead).
+
+        The hot-partition share comes from the already-persisted
+        ``per_key`` frame when the partition columns are key columns
+        (exact, one tiny agg over cached rows); otherwise from a
+        sampled histogram of the raw events. Persisted with a CAS so
+        concurrent pipelines agree on whichever factor lands first.
+        """
+        from getl_spark.salt import detect_salt_factor, salt_factor_from_counts
+
+        spec = self.target.partition_spec
+        cols = list(spec.columns) if spec.kind == "bucket" else list(self.keys)
+        num_parts = spec.num_buckets if spec.kind == "bucket" else 32
+        if all(c in per_key.columns for c in cols):
+            stats = (
+                per_key.groupBy(*cols)
+                .agg(F.sum("_n").alias("n"))
+                .agg(F.max("n").alias("hot"), F.sum("n").alias("total"))
+                .collect()[0]
+            )
+            if stats["total"] is None:
+                return  # empty epoch: keep "auto" for the next one
+            factor = salt_factor_from_counts(
+                int(stats["hot"]), int(stats["total"]), num_parts
+            )
+        else:
+            factor = detect_salt_factor(events, cols, num_parts, sample_fraction=1.0)
+        self.target.transform_properties(
+            lambda props: {"write.salt": str(factor)}
+            if props.get("write.salt") == "auto"
+            else {}
+        )
 
     def _select_winners(self, events: DataFrame, per_key: DataFrame, n_keys: int) -> DataFrame:
         """Pick the epoch's LWW winner rows under the configured strategy.

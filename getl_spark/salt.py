@@ -26,6 +26,22 @@ def key_histogram(df: DataFrame, cols: list[str], sample_fraction: float = 0.05)
     return s.groupBy(*cols).count().orderBy(F.desc("count"))
 
 
+def salt_factor_from_counts(
+    hot: int,
+    total: int,
+    num_partitions: int,
+    skew_threshold: float = 2.0,
+    max_salt: int = 16,
+) -> int:
+    """The sizing formula: salt so the hottest key's share ~ an average
+    partition — ``hot_share * num_partitions / skew_threshold``,
+    clamped to [1, max_salt]. 1 (no salting) for balanced data."""
+    if not total:
+        return 1
+    factor = int(hot / total * num_partitions / skew_threshold)
+    return max(1, min(factor, max_salt))
+
+
 def detect_salt_factor(
     df: DataFrame,
     cols: list[str],
@@ -34,11 +50,7 @@ def detect_salt_factor(
     skew_threshold: float = 2.0,
     max_salt: int = 16,
 ) -> int:
-    """Salt factor so the hottest key's share ~ an average partition.
-
-    hot_share * num_partitions / skew_threshold, clamped to
-    [1, max_salt]. Returns 1 (no salting) for balanced data.
-    """
+    """Salt factor from an observed key histogram (sampled)."""
     # ONE job: hottest-key count and sample total come out of the same
     # aggregation (the old version ran a second count() over the sample)
     s = df.sample(fraction=sample_fraction, seed=13) if sample_fraction < 1.0 else df
@@ -50,9 +62,9 @@ def detect_salt_factor(
     )
     if stats["total"] is None or int(stats["total"]) == 0:
         return 1
-    hot_share = int(stats["hot"]) / int(stats["total"])
-    factor = int(hot_share * num_partitions / skew_threshold)
-    return max(1, min(factor, max_salt))
+    return salt_factor_from_counts(
+        int(stats["hot"]), int(stats["total"]), num_partitions, skew_threshold, max_salt
+    )
 
 
 def salted_key(cols: list[str], salt: int, entropy_cols: list[str] | None = None):

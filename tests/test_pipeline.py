@@ -178,3 +178,55 @@ def test_broadcast_cap_plan_has_no_broadcast(spark, tmp_warehouse, event_df):
         assert "BroadcastExchange" in plan2
     finally:
         per_key.unpersist()
+
+
+def test_auto_salt_resolves_persists_and_balances(spark, tmp_warehouse):
+    """write_salt='auto': the first epoch sizes the salt from the
+    observed key histogram (SURVEY §4.2), persists it as a table
+    property (so a second process reuses it), and the hot bucket's
+    rows spread over multiple, size-balanced files."""
+    import statistics
+
+    from getl_spark.events import generate_change_events
+    from getl_spark.oracle import reduce_events
+
+    # skew=6 puts ~40% of events on key 0 -> repo org0/proj0 is hot
+    ev = generate_change_events(spark, 6000, n_keys=200, n_repos=10, seed=5, skew=6.0)
+    ev.cache().count()
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=16, write_salt="auto")
+    pipe.replay(ev, 3000)
+    salt = pipe.target.properties["write.salt"]
+    assert salt.isdigit() and int(salt) > 1, f"skewed data resolved salt={salt}"
+    # fresh handle over the same warehouse sees the persisted factor
+    pipe2 = CDCPipeline(spark, tmp_warehouse, num_buckets=16, write_salt="auto")
+    assert pipe2.target.properties["write.salt"] == salt
+    # final state still correct under salted writes
+    assert_final_state_matches(
+        pipe.state().drop("_epoch").toPandas(), reduce_events(ev.toPandas())
+    )
+    # hot bucket fans out over >1 file, none pathologically larger
+    from pyspark.sql import functions as F
+
+    hot_bucket = spark.createDataFrame([("org0/proj0",)], "repo string").select(
+        F.pmod(F.xxhash64("repo"), F.lit(16)).cast("int").alias("b")
+    ).collect()[0].b
+    rows = [f["rows"] for f in pipe.target.current_files() if f["bucket"] == hot_bucket]
+    assert len(rows) > 1, "hot bucket still written by a single task"
+    assert max(rows) <= 3 * statistics.median(rows), rows
+    ev.unpersist()
+
+
+def test_auto_salt_balanced_data_resolves_to_one(spark, tmp_warehouse):
+    from getl_spark.events import generate_change_events
+
+    ev = generate_change_events(spark, 2000, n_keys=400, n_repos=16, seed=6, skew=1.0)
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, write_salt="auto")
+    pipe.replay(ev, 2000)
+    assert pipe.target.properties["write.salt"] == "1"
+
+
+def test_write_salt_rejects_bad_string(spark, tmp_warehouse):
+    import pytest as _p
+
+    with _p.raises(ValueError, match="auto"):
+        CDCPipeline(spark, tmp_warehouse, write_salt="yes")
