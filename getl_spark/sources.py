@@ -332,6 +332,118 @@ def read_excel(
 _MASK_VAR = re.compile(r"\{(\w+)\}")
 
 
+def jdbc_select_sql(
+    table: str,
+    fields: list[str] | None = None,
+    where: str | None = None,
+    order: list[str] | None = None,
+    limit: int | None = None,
+) -> str:
+    """The getl-style SELECT a JDBC scan pushes to the database
+    (reference: sqlForDataset,
+    /root/reference/src/main/groovy/getl/jdbc/JDBCDriver.groovy:1249-1296):
+    projection + WHERE + ORDER BY run database-side, not in Spark.
+    LIMIT uses ANSI ``FETCH FIRST n ROWS ONLY`` (SQL:2008 — Derby,
+    Postgres, Oracle 12c+; override per-dialect via ``query=`` if a
+    database lacks it)."""
+    sel = ", ".join(fields) if fields else "*"
+    sql = f"SELECT {sel} FROM {table}"
+    if where:
+        sql += f" WHERE {where}"
+    if order:
+        sql += " ORDER BY " + ", ".join(order)
+    if limit is not None:
+        sql += f" FETCH FIRST {int(limit)} ROWS ONLY"
+    return sql
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    fields: list[str] | None = None,
+    where: str | None = None,
+    order: list[str] | None = None,
+    limit: int | None = None,
+    fetch_size: int | None = None,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """JDBC table scan with getl's read options (ReadSpec.where/order,
+    /root/reference/src/main/groovy/getl/jdbc/opts/ReadSpec.groovy:73;
+    QueryDataset for arbitrary SQL). Projection/WHERE/ORDER/LIMIT are
+    folded into the pushed query so the database does the filtering;
+    ``partition_column`` + bounds + ``num_partitions`` give the
+    parallel range-partitioned scan (one connection per Spark
+    partition — the scale path for big tables), and ``fetch_size``
+    maps to the driver's row-batch size (getl fetchSize)."""
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table= or query= is required")
+    pushed = query or jdbc_select_sql(table, fields, where, order, limit)
+    needs_subquery = query is not None or any(
+        v is not None for v in (fields, where, order, limit)
+    )
+    dbtable = f"({pushed}) getl_q" if needs_subquery else table
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in {
+        "driver": driver,
+        "user": user,
+        "password": password,
+        "fetchsize": fetch_size,
+        "partitionColumn": partition_column,
+        "lowerBound": lower_bound,
+        "upperBound": upper_bound,
+        "numPartitions": num_partitions,
+    }.items():
+        if v is not None:
+            reader = reader.option(k, v)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int | None = None,
+    isolation_level: str | None = None,
+    truncate: bool = False,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    options: dict | None = None,
+) -> None:
+    """JDBC bulk write (getl openWrite/bulkLoad,
+    /root/reference/src/main/groovy/getl/jdbc/JDBCDriver.groovy:1795-2006):
+    Spark's JDBC sink batches inserts per partition — ``batch_size``
+    maps to getl's batchSize (JDBC addBatch chunking),
+    ``isolation_level`` to the write transaction level, and
+    ``truncate=True`` keeps the table's DDL on overwrite."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in {
+        "driver": driver,
+        "user": user,
+        "password": password,
+        "batchsize": batch_size,
+        "isolationLevel": isolation_level,
+        "truncate": str(truncate).lower() if truncate else None,
+    }.items():
+        if v is not None:
+            writer = writer.option(k, v)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def mask_to_regex(mask: str) -> tuple[str, list[str]]:
     """Compile a getl file mask (``{region}/{date}/file_{num}.csv``)
     into a regex with one group per variable (Path.compile,
