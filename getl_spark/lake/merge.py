@@ -88,7 +88,25 @@ class MergeBuilder:
         return self
 
     # ------------------------------------------------------------------ exec
-    def execute(self, spark: SparkSession) -> dict:
+    def execute(self, spark: SparkSession, max_conflict_retries: int = 5) -> dict:
+        """Run the merge; on a genuine same-bucket commit conflict
+        (another writer rewrote one of our buckets first — disjoint
+        buckets rebase without conflict at the commit layer), refresh
+        the table and RE-EXECUTE the whole merge against the new
+        snapshot: the join re-reads the winner's state, and the
+        seq-guarded arms keep the outcome convergent. The optimistic-
+        concurrency retry Iceberg performs, at the operation level."""
+        from getl_spark.lake.table import CommitConflict
+
+        for attempt in range(max_conflict_retries + 1):
+            try:
+                return self._execute_once(spark)
+            except CommitConflict:
+                if attempt == max_conflict_retries:
+                    raise
+                self.table.refresh()
+
+    def _execute_once(self, spark: SparkSession) -> dict:
         t = self.table
         if not self._keys:
             # fall back to the table's declared primary key (getl

@@ -297,18 +297,28 @@ class LakeTable:
         summary: dict | None = None,
         properties_update: dict | None = None,
         max_retries: int = 50,
+        replaced_buckets: Iterable[int] | None = None,
     ) -> dict:
         """Commit a new snapshot whose live file set is ``files``.
 
         On a concurrent-commit race, reloads metadata and retries with
         jittered exponential backoff (without it, many writers can
         livelock each other out of all retries — measured with 6
-        processes); pure appends always rebase cleanly (the new files
-        are disjoint), overwrites raise :class:`CommitConflict` if the
-        concurrent commit overlaps (detected by file-set divergence).
+        processes). Rebase rules:
+
+        - pure appends always rebase (the new files are disjoint);
+        - bucket overwrites carrying ``replaced_buckets`` use
+          PARTITION-LEVEL conflict detection (Iceberg semantics): a
+          concurrent commit that only touched OTHER buckets rebases —
+          current files outside our buckets + our new files — so
+          writers on disjoint key ranges never conflict; an overlap on
+          the same bucket raises :class:`CommitConflict` (the caller
+          must re-read and re-merge — MergeBuilder.execute retries);
+        - whole-table overwrites raise on any file-set divergence.
         """
         import random
 
+        replaced = set(int(b) for b in replaced_buckets) if replaced_buckets is not None else None
         for attempt in range(max_retries):
             if attempt:
                 time.sleep(min(0.001 * (2 ** min(attempt, 8)), 0.2) * (0.5 + random.random()))
@@ -329,14 +339,30 @@ class LakeTable:
                 new_meta["properties"].update(properties_update)
             if self._try_commit(new_meta):
                 return snap
-            prev_files = {f["path"] for f in self.current_files()}
+            base = self.current_files()  # our stale base
+            base_paths = {f["path"] for f in base}
             self.refresh()
-            if operation != "append" and {f["path"] for f in self.current_files()} != prev_files:
-                raise CommitConflict(f"concurrent {operation} on {self.location}")
+            cur = self.current_files()
+            cur_paths = {f["path"] for f in cur}
             if operation == "append":
                 # rebase: keep the concurrent snapshot's files + ours
-                ours = [f for f in files if f["path"] not in prev_files]
-                files = self.current_files() + ours
+                ours = [f for f in files if f["path"] not in base_paths]
+                files = cur + ours
+            elif replaced is not None:
+                by_path = {f["path"]: f for f in base}
+                by_path.update({f["path"]: f for f in cur})
+                their_buckets = {
+                    by_path[p]["bucket"] for p in base_paths ^ cur_paths
+                }
+                if their_buckets & replaced:
+                    raise CommitConflict(
+                        f"concurrent {operation} touched buckets "
+                        f"{sorted(their_buckets & replaced)} on {self.location}"
+                    )
+                ours_new = [f for f in files if f["bucket"] in replaced]
+                files = [f for f in cur if f["bucket"] not in replaced] + ours_new
+            elif cur_paths != base_paths:
+                raise CommitConflict(f"concurrent {operation} on {self.location}")
         raise CommitConflict(f"gave up after {max_retries} retries on {self.location}")
 
     # ----------------------------------------------------------- data files
@@ -477,7 +503,9 @@ class LakeTable:
             "added_rows": sum(f["rows"] for f in new),
         }
         s.update(summary or {})
-        return self._commit_snapshot("overwrite", kept + new, s, properties_update)
+        return self._commit_snapshot(
+            "overwrite", kept + new, s, properties_update, replaced_buckets=buckets
+        )
 
     def overwrite_all(self, df: DataFrame, summary: dict | None = None) -> dict:
         new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])

@@ -497,3 +497,46 @@ def test_read_incremental_empty_range_pins_snapshot_schema(spark, table):
     empty = table.read_incremental(spark, snap1, snap1)
     assert set(empty.columns) == pre_cols  # not the evolved schema
     assert empty.count() == 0
+
+
+def test_disjoint_bucket_overwrites_rebase_not_conflict(spark, table):
+    """Partition-level optimistic concurrency: a stale handle
+    committing an overwrite of bucket set A rebases cleanly over a
+    concurrent overwrite of disjoint bucket set B (previously ANY
+    file-set divergence raised)."""
+    rows = [row(f"r{i}/p{i}", f"f{i}.py", i) for i in range(1, 9)]
+    table.append(mk(spark, rows))
+    t2 = LakeTable.load(table.location)  # independent stale handle
+    buckets = sorted({f["bucket"] for f in table.current_files()})
+    assert len(buckets) >= 2
+    b_a, b_b = buckets[0], buckets[1]
+    # handle 1 rewrites bucket b_a
+    df_a = table.read(spark, buckets=[b_a]).withColumn("lang", F.lit("go"))
+    table.overwrite_buckets(df_a, [b_a])
+    # stale handle 2 rewrites DISJOINT bucket b_b: must rebase, not raise
+    df_b = t2.read(spark, buckets=[b_b]).withColumn("lang", F.lit("rs"))
+    t2.overwrite_buckets(df_b, [b_b])
+    table.refresh()
+    langs = {r.lang for r in table.read(spark).collect()}
+    assert "go" in langs and "rs" in langs  # both rewrites survived
+
+
+def test_merge_retries_on_same_bucket_conflict(spark, table):
+    """A genuine same-bucket conflict re-executes the merge against
+    the winner's snapshot (operation-level retry): both writers'
+    changes land, seq-guarded."""
+    table.append(mk(spark, [row("a/r1", "f1.py", 1), row("a/r1", "f2.py", 2)]))
+    t2 = LakeTable.load(table.location)  # stale handle
+    # writer 1 merges an update for f1 (rewrites a/r1's bucket)
+    table.merge(mk(spark, [row("a/r1", "f1.py", 10, content="w1")])).on(
+        ["repo", "path"]
+    ).when_matched_update().when_not_matched_insert().execute(spark)
+    # stale writer 2 merges f2 into the SAME bucket: first commit
+    # conflicts, retry must re-read and keep writer 1's f1 update
+    t2.merge(mk(spark, [row("a/r1", "f2.py", 11, content="w2")])).on(
+        ["repo", "path"]
+    ).when_matched_update().when_not_matched_insert().execute(spark)
+    table.refresh()
+    got = {r.path: (r._seq, r.content) for r in table.read(spark).collect()}
+    assert got["f1.py"] == (10, "w1")
+    assert got["f2.py"] == (11, "w2")

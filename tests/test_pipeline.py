@@ -230,3 +230,57 @@ def test_write_salt_rejects_bad_string(spark, tmp_warehouse):
 
     with _p.raises(ValueError, match="auto"):
         CDCPipeline(spark, tmp_warehouse, write_salt="yes")
+
+
+def test_two_pipelines_concurrent_writers_same_target(spark, tmp_warehouse):
+    """Two CDCPipelines in separate OS processes (own JVMs) merge into
+    the SAME target concurrently on disjoint key ranges (split by
+    bucket parity): partition-level commit rebase + retry must
+    serialize every snapshot, keep both watermarks, and converge to
+    the oracle reduction of the union of both slices."""
+    import subprocess
+    import sys
+
+    from getl_spark.events import generate_change_events
+    from getl_spark.oracle import reduce_events
+
+    # parent creates the table (and bookkeeping tables) once, so the
+    # workers never race on CREATE
+    CDCPipeline(spark, tmp_warehouse, num_buckets=16, name="seed")
+    worker = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from getl_spark.session import get_spark\n"
+        "from getl_spark.events import generate_change_events\n"
+        "from getl_spark.pipeline import CDCPipeline\n"
+        "from pyspark.sql import functions as F\n"
+        "name, parity, wh = sys.argv[1], int(sys.argv[2]), sys.argv[3]\n"
+        "spark = get_spark(f'ccw-{name}', cpus=4)\n"
+        "ev = generate_change_events(spark, 4000, n_keys=300, n_repos=12, seed=31)\n"
+        "mine = ev.filter(F.pmod(F.xxhash64('repo'), F.lit(16)) % 2 == parity)\n"
+        "pipe = CDCPipeline(spark, wh, name=name, num_buckets=16)\n"
+        "res = pipe.replay(mine, 1000, max_seq=4000)\n"
+        "print('applied', sum(r.events for r in res))\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, name, str(parity), tmp_warehouse],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for name, parity in (("tail_a", 0), ("tail_b", 1))
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    ev = generate_change_events(spark, 4000, n_keys=300, n_repos=12, seed=31)
+    oracle = reduce_events(ev.toPandas())
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=16, name="reader")
+    assert_final_state_matches(pipe.state().drop("_epoch").toPandas(), oracle)
+    # both watermarks landed; snapshots strictly serialized
+    t = pipe.target
+    assert t.properties["watermark.tail_a"] == "3"
+    assert t.properties["watermark.tail_b"] == "3"
+    snap_ids = [s["snapshot_id"] for s in t.meta["snapshots"]]
+    assert snap_ids == list(range(1, len(snap_ids) + 1))
