@@ -298,3 +298,73 @@ def test_winnow_selects_min_per_window_rightmost_tie(spark):
     assert not (h1 & h3)
     # density: selected fraction well below the raw stream
     assert len(got) < 0.6 * len(raw)
+
+
+def test_lsh_cap_recall_on_seeded_corpus(spark):
+    """What the bucket cap costs, measured: on a corpus with known
+    organic near-dups plus one degenerate boilerplate cluster, the
+    capped candidate set must keep >= 0.9 recall on ORGANIC pairs
+    (the cap is designed to drop only the quadratic spam bucket).
+    Ground truth = brute-force all-pairs Jaccard."""
+
+    def words(i, n=30):
+        return [f"w{(i * 131 + j * 17) % 9973}_{(i + j) % 7}" for j in range(n)]
+
+    rows = []
+    for i in range(150):  # organic docs
+        rows.append((i, " ".join(words(i))))
+    for i in range(40):  # organic near-dups: last 2 words mutated
+        ws = words(i)
+        ws[-1], ws[-2] = "mutA", "mutB"
+        rows.append((1000 + i, " ".join(ws)))
+    boiler = " ".join(words(555))
+    for i in range(30):  # spam cluster: boilerplate + 1 trailing token
+        rows.append((2000 + i, boiler + f" tail{i}"))
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # brute-force ground truth at jaccard >= 0.6 over the same shingles
+    from getl_spark.functions.text import word_shingles
+
+    sh = corpus.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.6)
+        .collect()
+    }
+    organic_truth = {p for p in truth if p[0] < 2000 and p[1] < 2000}
+    spam_truth = truth - organic_truth
+    assert len(organic_truth) >= 35 and len(spam_truth) >= 300
+
+    def recall(max_bucket):
+        cand = {
+            (r.a_id, r.b_id)
+            for r in dedupe.lsh_candidate_pairs(
+                corpus, num_hashes=64, bands=16, max_bucket=max_bucket
+            ).collect()
+        }
+        org = len(cand & organic_truth) / len(organic_truth)
+        spam = len(cand & spam_truth) / len(spam_truth) if spam_truth else 1.0
+        return org, spam
+
+    org_uncapped, spam_uncapped = recall(None)
+    org_capped, spam_capped = recall(10)
+    # banded minhash finds essentially all organic near-dups
+    assert org_uncapped >= 0.95
+    assert spam_uncapped >= 0.95
+    # the cap keeps organic recall while killing the quadratic bucket
+    assert org_capped >= 0.9, f"organic recall under cap: {org_capped}"
+    assert spam_capped <= 0.5, "cap failed to suppress the degenerate cluster"
+    print(
+        f"recall organic uncapped={org_uncapped:.3f} capped={org_capped:.3f}; "
+        f"spam uncapped={spam_uncapped:.3f} capped={spam_capped:.3f}"
+    )
