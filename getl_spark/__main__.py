@@ -51,6 +51,18 @@ def main(argv=None):
     state = sub.add_parser("state")
     state.add_argument("--warehouse", required=True)
 
+    script = sub.add_parser(
+        "script",
+        help="run a getl SQL script (SET/ECHO/FOR/IF/LOAD_POINT/"
+        "SAVE_POINT mini-language) with lake tables as views",
+    )
+    script.add_argument("--file", required=True)
+    script.add_argument("--warehouse", default=None)
+    script.add_argument(
+        "--var", action="append", default=[], metavar="NAME=VALUE",
+        help="external variable (repeatable)",
+    )
+
     comp = sub.add_parser(
         "compact",
         help="MOR maintenance: fold deltas to one row per key; optionally "
@@ -151,6 +163,20 @@ def main(argv=None):
                 }
             )
         )
+    elif args.cmd == "script":
+        from getl_spark.scripter import SQLScripter
+
+        cat = None
+        if args.warehouse:
+            from getl_spark.lake import LakeCatalog
+
+            cat = LakeCatalog(args.warehouse)
+            cat.register_views(spark)
+        ext = dict(v.split("=", 1) for v in args.var)
+        sc = SQLScripter(spark, ext_vars=ext, catalog=cat)
+        sc.load_file(args.file)
+        sc.run()
+        print(json.dumps({"row_count": sc.row_count, "echoed": sc.echoed}))
     elif args.cmd == "state":
         from getl_spark.lake import LakeCatalog
 
