@@ -697,11 +697,19 @@ class LakeTable:
                 "the file diff is not a row diff — read a full snapshot instead"
             )
         # snapshot ids start at 1; 0 is the genesis sentinel (empty table)
-        from_files = (
-            set()
-            if from_snapshot_id <= 0
-            else {f["path"] for f in self.current_files(from_snapshot_id)}
-        )
+        try:
+            from_files = (
+                set()
+                if from_snapshot_id <= 0
+                else {f["path"] for f in self.current_files(from_snapshot_id)}
+            )
+        except StopIteration:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} has been expired from "
+                f"{self.location}: the incremental range is gone — rebuild "
+                f"from a full snapshot (incremental_sync "
+                f"on_non_append='rebuild')"
+            ) from None
         new_files = [
             f for f in self.current_files(to_id) if f["path"] not in from_files
         ]
@@ -780,23 +788,48 @@ class LakeTable:
         df = self.read(spark, buckets=buckets)
         return self.overwrite_buckets(df, buckets, {"compaction": True})
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Drop old snapshots and delete data files no longer referenced."""
+    def expire_snapshots(self, keep_last: int = 1, keep_metadata_versions: int = 8) -> int:
+        """Drop old snapshots and delete data files no longer referenced.
+
+        The metadata-growth bound for long-lived tables: every commit
+        appends a snapshot (whose manifest repeats the full live file
+        list) and writes a new v<N>.metadata.json — unbounded, both
+        the JSON grows O(snapshots x files) and the directory grows
+        one file per commit. Expiring keeps the commit O(keep_last x
+        files) forever. Stale metadata-version files below
+        ``version - keep_metadata_versions`` are deleted too (each is
+        self-contained; the buffer keeps files a concurrent reader
+        mid-load may still be opening). Incremental consumers whose
+        watermark falls behind the horizon get a clear error from
+        ``read_incremental`` and recover via the rebuild path.
+        """
         snaps = self.meta["snapshots"]
-        if len(snaps) <= keep_last:
-            return 0
-        keep = snaps[-keep_last:]
-        live = {f["path"] for s in keep for f in s["files"]}
-        dead = {f["path"] for s in snaps for f in s["files"]} - live
-        new_meta = json.loads(json.dumps(self.meta))
-        new_meta["snapshots"] = keep
-        while not self._try_commit(new_meta):
-            self.refresh()
+        dead_count = 0
+        if len(snaps) > keep_last:
+            keep = snaps[-keep_last:]
+            live = {f["path"] for s in keep for f in s["files"]}
+            dead = {f["path"] for s in snaps for f in s["files"]} - live
             new_meta = json.loads(json.dumps(self.meta))
-            new_meta["snapshots"] = new_meta["snapshots"][-keep_last:]
-        for p in dead:
+            new_meta["snapshots"] = keep
+            while not self._try_commit(new_meta):
+                self.refresh()
+                new_meta = json.loads(json.dumps(self.meta))
+                new_meta["snapshots"] = new_meta["snapshots"][-keep_last:]
+            for p in dead:
+                try:
+                    os.remove(os.path.join(self.location, p))
+                except FileNotFoundError:
+                    pass
+            dead_count = len(dead)
+        horizon = self.version - int(keep_metadata_versions)
+        for p in glob.glob(os.path.join(self._meta_dir, "v*.metadata.json")):
             try:
-                os.remove(os.path.join(self.location, p))
-            except FileNotFoundError:
-                pass
-        return len(dead)
+                n = int(os.path.basename(p)[1:].split(".", 1)[0])
+            except ValueError:
+                continue
+            if n < horizon:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        return dead_count

@@ -68,6 +68,7 @@ class CDCPipeline:
         lww_strategy: str = "broadcast",
         merge_mode: str = "cow",
         broadcast_cap: int = 5_000_000,
+        keep_snapshots: int | None = None,
     ):
         """``merge_mode``:
 
@@ -97,6 +98,12 @@ class CDCPipeline:
         self.lww_strategy = lww_strategy
         self.broadcast_cap = int(broadcast_cap)
         self.last_lww_strategy: str | None = None  # effective strategy of the last epoch
+        # bounded metadata: keep at most N snapshots per table (None =
+        # unbounded). Every commit rewrites the full snapshot list, so
+        # an always-on pipeline needs this or metadata grows O(epochs^2)
+        # on disk; expired history trades time travel + deep incremental
+        # catch-up (consumers recover via the rebuild path).
+        self.keep_snapshots = int(keep_snapshots) if keep_snapshots else None
         self.merge_mode = merge_mode
         self.catalog = LakeCatalog(warehouse)
         self.target: LakeTable = self.catalog.create_table(
@@ -245,6 +252,16 @@ class CDCPipeline:
             max_seq = int(lin["seq_max"].max()) if len(lin) else None
             if max_seq is not None:
                 self.checkpoints.save(self.spark, self.name, epoch, int(max_seq))
+            if (
+                self.keep_snapshots
+                and len(self.target.meta["snapshots"]) > self.keep_snapshots
+            ):
+                # bookkeeping tables are append-only, so expiring them
+                # trims only snapshot metadata (the newest snapshot
+                # still references every data file) — no history lost
+                self.target.expire_snapshots(self.keep_snapshots)
+                self.lineage.table.expire_snapshots(self.keep_snapshots)
+                self.checkpoints.table.expire_snapshots(self.keep_snapshots)
             return EpochResult(
                 epoch=epoch,
                 applied=not res.get("skipped", False),

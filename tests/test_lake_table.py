@@ -540,3 +540,27 @@ def test_merge_retries_on_same_bucket_conflict(spark, table):
     got = {r.path: (r._seq, r.content) for r in table.read(spark).collect()}
     assert got["f1.py"] == (10, "w1")
     assert got["f2.py"] == (11, "w2")
+
+
+def test_expire_snapshots_cleans_metadata_files(spark, table):
+    for i in range(1, 13):
+        table.append(mk(spark, [row("a/r1", f"f{i}.py", i)]))
+    meta_dir = os.path.join(table.location, "metadata")
+    assert len([f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")]) == 13
+    table.expire_snapshots(keep_last=2, keep_metadata_versions=3)
+    kept = sorted(f for f in os.listdir(meta_dir) if f.endswith(".metadata.json"))
+    # only versions >= current-3 survive (plus the expire commit itself)
+    assert len(kept) <= 4
+    t2 = LakeTable.load(table.location)  # still loads fine
+    assert t2.read(spark).count() == 12
+    assert len(t2.meta["snapshots"]) == 2
+
+
+def test_read_incremental_expired_snapshot_clear_error(spark, table):
+    table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    snap1 = table.meta["current_snapshot_id"]
+    table.append(mk(spark, [row("a/r1", "f2.py", 2)]))
+    table.append(mk(spark, [row("a/r1", "f3.py", 3)]))
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        table.read_incremental(spark, snap1)

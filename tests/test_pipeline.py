@@ -284,3 +284,26 @@ def test_two_pipelines_concurrent_writers_same_target(spark, tmp_warehouse):
     assert t.properties["watermark.tail_b"] == "3"
     snap_ids = [s["snapshot_id"] for s in t.meta["snapshots"]]
     assert snap_ids == list(range(1, len(snap_ids) + 1))
+
+
+def test_keep_snapshots_bounds_metadata_growth(spark, tmp_warehouse, event_df, oracle_final):
+    """Always-on pipelines must not grow metadata without bound: with
+    keep_snapshots the target's snapshot list and metadata-version
+    directory stay O(keep), state stays correct, and resume stays
+    exactly-once (the watermark lives in table properties, which
+    survive expiry)."""
+    import os
+
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, keep_snapshots=2)
+    pipe.replay(event_df, EPOCH)
+    assert len(pipe.target.meta["snapshots"]) <= 3  # 2 kept + this epoch
+    assert_final_state_matches(engine_state_pdf(pipe), oracle_final)
+    # resume in a fresh handle is still exactly-once
+    pipe2 = CDCPipeline(spark, tmp_warehouse, num_buckets=8, keep_snapshots=2)
+    assert pipe2.replay(event_df, EPOCH) == []
+    meta_files = [
+        f
+        for f in os.listdir(os.path.join(tmp_warehouse, "target", "metadata"))
+        if f.endswith(".metadata.json")
+    ]
+    assert len(meta_files) <= 12  # bounded, not one per commit
