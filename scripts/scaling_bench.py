@@ -64,7 +64,13 @@ def run_replay(cpus: int, n_events: int, log_path: str, trials: int = 2) -> dict
             text=True,
             timeout=3600,
         )
-        res = json.loads(out.stdout.strip().splitlines()[-1])
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            raise RuntimeError(
+                f"bench.py (cpus={cpus}) produced no output; stderr tail:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-15:])
+            )
+        res = json.loads(lines[-1])
         if best is None or res["queries"]["replay"] < best["queries"]["replay"]:
             best = res
     return best
