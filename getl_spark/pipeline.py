@@ -69,6 +69,7 @@ class CDCPipeline:
         merge_mode: str = "cow",
         broadcast_cap: int = 5_000_000,
         keep_snapshots: int | None = None,
+        compact_every: int | None = None,
     ):
         """``merge_mode``:
 
@@ -104,6 +105,11 @@ class CDCPipeline:
         # on disk; expired history trades time travel + deep incremental
         # catch-up (consumers recover via the rebuild path).
         self.keep_snapshots = int(keep_snapshots) if keep_snapshots else None
+        # MOR maintenance cadence: fold deltas every N applied epochs.
+        # Read cost in MOR grows with delta-file count; compaction
+        # resets it to one resolved file set. Incremental consumers
+        # crossing a compaction recover via the rebuild path.
+        self.compact_every = int(compact_every) if compact_every else None
         self.merge_mode = merge_mode
         self.catalog = LakeCatalog(warehouse)
         self.target: LakeTable = self.catalog.create_table(
@@ -252,6 +258,13 @@ class CDCPipeline:
             max_seq = int(lin["seq_max"].max()) if len(lin) else None
             if max_seq is not None:
                 self.checkpoints.save(self.spark, self.name, epoch, int(max_seq))
+            if (
+                self.compact_every
+                and self.merge_mode == "mor"
+                and not res.get("skipped", False)
+                and (int(epoch) + 1) % self.compact_every == 0
+            ):
+                self.compact()
             if (
                 self.keep_snapshots
                 and len(self.target.meta["snapshots"]) > self.keep_snapshots

@@ -285,3 +285,35 @@ def test_incremental_sync_recovers_after_compaction(spark, tmp_warehouse):
     assert not res2.get("skipped") and not res2.get("rebuild")
     got2 = {r.repo: r.n for r in live.read(spark).collect()}
     assert got2 == {"r1": 2, "r2": 2}
+
+
+def test_compact_every_bounds_delta_files(spark, tmp_warehouse):
+    """MOR auto-compaction cadence: reads stay O(resolved table), not
+    O(epochs), and the state still matches the oracle."""
+    import os
+
+    from getl_spark.events import generate_change_events
+    from getl_spark.oracle import reduce_events
+
+    ev = generate_change_events(spark, 4000, n_keys=200, n_repos=6, seed=13)
+    auto = CDCPipeline(
+        spark, os.path.join(tmp_warehouse, "auto"), num_buckets=4,
+        merge_mode="mor", compact_every=2,
+    )
+    plain = CDCPipeline(
+        spark, os.path.join(tmp_warehouse, "plain"), num_buckets=4,
+        merge_mode="mor",
+    )
+    auto.replay(ev, 500)   # 8 epochs -> compactions after 2,4,6,8
+    plain.replay(ev, 500)
+    n_auto = len(auto.target.current_files())
+    n_plain = len(plain.target.current_files())
+    assert n_auto < n_plain, (n_auto, n_plain)
+    oracle = reduce_events(ev.toPandas())
+    assert_final_state_matches(state_pdf(auto), oracle)
+    # resume across a compaction is still exactly-once
+    auto2 = CDCPipeline(
+        spark, os.path.join(tmp_warehouse, "auto"), num_buckets=4,
+        merge_mode="mor", compact_every=2,
+    )
+    assert auto2.replay(ev, 500) == []
