@@ -235,6 +235,52 @@ def lsh_candidate_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidates from the winnowed sketch (the MOSS
+    pipeline, Schleimer et al. SIGMOD'03): two docs are candidates
+    when they share >= ``min_shared`` selected fingerprint hashes.
+
+    vs MinHash LSH: winnowing guarantees detection of any shared
+    substring of length >= w+k-1 (local similarity — plagiarism/
+    boilerplate spans), while MinHash bounds global Jaccard; the two
+    candidate generators are complementary. Plan shape is identical
+    to the LSH path: sketch build (one window shuffle) -> equi-join
+    on the hash (shuffle ~ sketch size, never all-pairs) -> per-pair
+    count agg; ``max_bucket`` caps degenerate hash buckets exactly
+    like LSH band buckets.
+
+    Returns (a_id, b_id, shared) with a_id < b_id.
+    """
+    from getl_spark.functions.text import winnow
+
+    sel = winnow(df, text_col, id_col, k=k, w=w, hash_fn=hash_fn)
+    fp = sel.select(id_col, "h").distinct()
+    fp = _cap_buckets(fp, ["h"], max_bucket)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

@@ -749,6 +749,50 @@ WHERE pos >= 4 OR (m < 4 AND pos = m)
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS-style near-dup candidates: doc pairs sharing >= 3 winnowed
+    fingerprint hashes (local-similarity detection — complements the
+    global-Jaccard MinHash path). Capped hash buckets, sha mode."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedupe.winnow_candidate_pairs(
+        d, k=8, w=4, min_shared=3, hash_fn="sha60", max_bucket=50
+    )
+
+
+SQL_WINNOW_PAIRS = r"""
+WITH hashed AS (
+  SELECT doc_id, m, i AS pos,
+         substr(sha256(substr(norm, i, 8)), 1, 15) AS h
+  FROM (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+           greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 7, 1) AS m
+    FROM documents WHERE doc_id < 200
+  ), unnest(generate_series(1, m)) AS t(i)
+),
+sel AS (
+  SELECT doc_id, m, pos,
+         min(h || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS key
+  FROM hashed
+),
+fp AS (
+  SELECT DISTINCT doc_id, substr(key, 1, 15) AS h
+  FROM sel
+  WHERE pos >= 4 OR (m < 4 AND pos = m)
+),
+capped AS (
+  SELECT doc_id, h FROM fp
+  QUALIFY count(*) OVER (PARTITION BY h) <= 50
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedupe.exact_duplicates(d).select("fingerprint", "keep_id", "n")
@@ -1131,6 +1175,7 @@ def all_queries():
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
         "rolling_fp_winnow": q_rolling_fp_winnow,
+        "winnow_pairs": q_winnow_pairs,
         "dedup_exact": q_dedup_exact,
         "simsearch_topk": q_simsearch_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1173,6 +1218,7 @@ def all_oracles():
         "fingerprint": SQL_FINGERPRINT,
         "rolling_fp": SQL_ROLLING_FP,
         "rolling_fp_winnow": SQL_ROLLING_FP_WINNOW,
+        "winnow_pairs": SQL_WINNOW_PAIRS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

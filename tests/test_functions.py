@@ -368,3 +368,23 @@ def test_lsh_cap_recall_on_seeded_corpus(spark):
         f"recall organic uncapped={org_uncapped:.3f} capped={org_capped:.3f}; "
         f"spam uncapped={spam_uncapped:.3f} capped={spam_capped:.3f}"
     )
+
+
+def test_winnow_candidate_pairs_local_similarity(spark):
+    """MOSS guarantee end-to-end: docs sharing a long substring become
+    candidates; unrelated docs do not."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX AAA " + shared + " SUFFIX BBB"),
+            (2, "totally different lead-in words " + shared),
+            (3, "no overlap here at all with anything else whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.shared
+        for r in dedupe.winnow_candidate_pairs(docs, k=8, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
