@@ -40,14 +40,29 @@ class StreamingTailer:
         checkpoint_dir: str,
         name: str = "tail",
         num_buckets: int = 16,
-        write_salt: int = 1,
+        write_salt: int | str = 1,
         max_files_per_trigger: int | None = None,
+        merge_mode: str = "cow",
+        keep_snapshots: int | None = None,
+        compact_every: int | None = None,
     ):
+        """The always-on knobs pass straight through to the pipeline:
+        ``write_salt="auto"`` (histogram-sized skew salt),
+        ``keep_snapshots`` (bounded metadata), ``compact_every``
+        (MOR delta folding) — a long-running streaming tailer needs
+        all three."""
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.pipeline = CDCPipeline(
-            spark, warehouse, name=name, num_buckets=num_buckets, write_salt=write_salt
+            spark,
+            warehouse,
+            name=name,
+            num_buckets=num_buckets,
+            write_salt=write_salt,
+            merge_mode=merge_mode,
+            keep_snapshots=keep_snapshots,
+            compact_every=compact_every,
         )
 
     def run_available_now(self, event_log_path: str) -> int:

@@ -138,3 +138,27 @@ def test_windowed_counts_with_watermark(spark, log_dir, tmp_path):
     o = {(r.window_start, r.op): (r.n, r.max_seq) for r in oracle.collect()}
     for r in rows:
         assert o[(r.window_start, r.op)] == (r.n, r.max_seq)
+
+
+def test_stream_mor_with_always_on_knobs(spark, tmp_warehouse, log_dir, oracle_final):
+    """Streaming tailer in MOR mode with the always-on knobs: auto
+    salt, per-batch compaction cadence, bounded snapshot history —
+    state still matches the oracle and metadata stays bounded."""
+    tailer = StreamingTailer(
+        spark,
+        os.path.join(tmp_warehouse, "wh_mor"),
+        os.path.join(tmp_warehouse, "ckpt_mor"),
+        num_buckets=8,
+        max_files_per_trigger=2,
+        merge_mode="mor",
+        write_salt="auto",
+        keep_snapshots=4,
+        compact_every=2,
+    )
+    tailer.run_available_now(log_dir)
+    assert_final_state_matches(
+        tailer.state().drop("_epoch").toPandas(), oracle_final
+    )
+    t = tailer.pipeline.target
+    assert len(t.meta["snapshots"]) <= 5
+    assert t.properties["write.salt"].isdigit()
