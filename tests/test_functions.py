@@ -388,3 +388,58 @@ def test_winnow_candidate_pairs_local_similarity(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def _ref_winnow_from_raw(raw, w):
+    """Pure-python winnow over a raw (doc, pos->hash) stream."""
+    by_doc = {}
+    for d, p, h in raw:
+        by_doc.setdefault(d, {})[p] = h
+    expected = set()
+    for d, hs in by_doc.items():
+        m = len(hs)
+        for end in range(min(w, m), m + 1):
+            lo = max(1, end - w + 1)
+            hmin, negp = min((hs[p], -p) for p in range(lo, end + 1))
+            expected.add((d, -negp, hmin))
+    return expected
+
+
+def test_winnow_property_random_corpora(spark):
+    """Property: for arbitrary text, Spark's winnow equals the pure-
+    python reference winnow of the raw rolling-hash stream (single
+    batched Spark job per example set)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from getl_spark.functions import text as T
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\tdefg  hij\nkl"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts)
+    def check(batch):
+        k, w = 5, 3
+        docs = spark.createDataFrame(
+            list(enumerate(batch)), "doc_id bigint, text string"
+        )
+        raw = {
+            (r.doc_id, r.pos0 + 1, r.h)
+            for r in docs.select(
+                "doc_id",
+                F.posexplode(T.rolling_hashes(F.col("text"), k=k)).alias("pos0", "h"),
+            ).collect()
+        }
+        got = {
+            (r.doc_id, r.wpos, r.h)
+            for r in T.winnow(docs, k=k, w=w).collect()
+        }
+        assert got == _ref_winnow_from_raw(raw, w)
+
+    check()
