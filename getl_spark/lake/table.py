@@ -788,6 +788,34 @@ class LakeTable:
         df = self.read(spark, buckets=buckets)
         return self.overwrite_buckets(df, buckets, {"compaction": True})
 
+    def remove_orphan_files(self, older_than_seconds: float = 3600) -> int:
+        """Delete data files referenced by NO snapshot (Iceberg's
+        remove_orphan_files): a writer that loses a commit conflict —
+        or crashes between writing its data files and committing —
+        leaves its files in ``data/`` forever, since expire_snapshots
+        only deletes files that WERE referenced. The mtime grace
+        period (default 1 h) protects concurrent writers whose commit
+        is in flight: their files are new, orphans from dead commits
+        age past it."""
+        self.refresh()
+        referenced = {
+            f["path"] for s in self.meta["snapshots"] for f in s["files"]
+        }
+        removed = 0
+        now = time.time()
+        for p in glob.glob(os.path.join(self._data_dir, "*.parquet")):
+            rel = os.path.join("data", os.path.basename(p))
+            if rel in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(p) < older_than_seconds:
+                    continue
+                os.remove(p)
+                removed += 1
+            except FileNotFoundError:
+                continue
+        return removed
+
     def expire_snapshots(self, keep_last: int = 1, keep_metadata_versions: int = 8) -> int:
         """Drop old snapshots and delete data files no longer referenced.
 

@@ -564,3 +564,27 @@ def test_read_incremental_expired_snapshot_clear_error(spark, table):
     table.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         table.read_incremental(spark, snap1)
+
+
+def test_remove_orphan_files(spark, table):
+    """Files from dead commits (conflict losers / crashes between data
+    write and commit) are deleted once past the grace period;
+    referenced files and fresh in-flight files survive."""
+    import time as _time
+
+    table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    data_dir = os.path.join(table.location, "data")
+    old_orphan = os.path.join(data_dir, "snap-deadbeef-00000-b0.parquet")
+    new_orphan = os.path.join(data_dir, "snap-cafebabe-00000-b1.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as f:
+            f.write(b"not really parquet")
+    _time.sleep(0.01)
+    os.utime(old_orphan, (1, 1))  # ancient mtime
+    removed = table.remove_orphan_files(older_than_seconds=3600)
+    assert removed == 1
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(new_orphan)  # grace period protects in-flight
+    assert table.read(spark).count() == 1  # referenced data untouched
+    # zero grace collects the fresh orphan too
+    assert table.remove_orphan_files(older_than_seconds=0) == 1
