@@ -78,6 +78,20 @@ def main(argv=None):
         metavar="SEQ",
         help="also physically drop tombstones with _seq below this horizon",
     )
+    comp.add_argument(
+        "--remove-orphans-older-than",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="also delete unreferenced data files older than this many seconds",
+    )
+    comp.add_argument(
+        "--expire-keep-last",
+        type=int,
+        default=None,
+        metavar="N",
+        help="also expire all but the last N snapshots (bounds metadata)",
+    )
 
     args = p.parse_args(argv)
 
@@ -151,6 +165,11 @@ def main(argv=None):
             purged = args.purge_tombstones_below
         else:
             pipe.compact()
+        expired = orphans = None
+        if args.expire_keep_last is not None:
+            expired = pipe.target.expire_snapshots(args.expire_keep_last)
+        if args.remove_orphans_older_than is not None:
+            orphans = pipe.target.remove_orphan_files(args.remove_orphans_older_than)
         pipe.target.refresh()
         print(
             json.dumps(
@@ -159,6 +178,8 @@ def main(argv=None):
                     "rows_before": before,
                     "rows_after": pipe.target.count_rows(),
                     "purged_below_seq": purged,
+                    "expired_files": expired,
+                    "orphans_removed": orphans,
                     "sec": round(time.monotonic() - t0, 1),
                 }
             )
