@@ -159,8 +159,11 @@ def main(argv=None):
         before = pipe.target.count_rows()
         purged = None
         if args.purge_tombstones_below is not None:
-            # purge_tombstones compacts first in MOR mode — a separate
-            # compact() here would be a second full-table rewrite
+            # MOR purge compacts internally — an explicit compact()
+            # first would be a second full-table rewrite. CoW purge is
+            # a bucket-pruned delete, so CoW still compacts explicitly.
+            if pipe.merge_mode != "mor":
+                pipe.compact()
             pipe.purge_tombstones(args.purge_tombstones_below)
             purged = args.purge_tombstones_below
         else:

@@ -338,7 +338,13 @@ def connected_components(
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint()
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        # per-iteration checkpoints are cleaned on RDD GC when
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true
+        # (set by getl_spark.session.get_spark); without it each
+        # iteration's full copy persists in the checkpoint store
         return df.checkpoint()
 
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))

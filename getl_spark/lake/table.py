@@ -148,27 +148,41 @@ class LakeTable:
 
     @staticmethod
     def _live_version(location: str) -> int:
-        """The table's live version = max committed metadata file.
+        """The table's live version = highest committed metadata file.
 
         VERSION is a hint, not the source of truth: a writer that won
         the os.link claim for v_N but stalled before its VERSION bump
         can write the pointer AFTER adopters have advanced it past N,
         transiently rolling it back. Every v<N>.metadata.json is linked
         atomically from an fsync'd temp file (never partial), so the
-        max N present is always a complete, adopted-or-adoptable
-        commit — deriving the version from the listing makes a stale
+        highest N present is always a complete, adopted-or-adoptable
+        commit — deriving the version from the files makes a stale
         pointer harmless to readers without requiring them to write.
+
+        Versions are contiguous by construction, so instead of listing
+        the whole directory (O(total commits) per refresh — refresh is
+        on the per-epoch hot path) we probe upward from the hint:
+        O(gap + 1) stat calls, gap almost always 0.
         """
-        vfile = os.path.join(location, "metadata", "VERSION")
-        with open(vfile) as f:
+        meta_dir = os.path.join(location, "metadata")
+        with open(os.path.join(meta_dir, "VERSION")) as f:
             version = int(f.read().strip())
-        for p in glob.glob(os.path.join(location, "metadata", "v*.metadata.json")):
-            try:
-                n = int(os.path.basename(p)[1:].split(".", 1)[0])
-            except ValueError:
-                continue
-            if n > version:
-                version = n
+        if not os.path.exists(os.path.join(meta_dir, f"v{version}.metadata.json")):
+            # pointer landed below the metadata-cleanup horizon (a
+            # regressed write whose slot was expired): recover from
+            # the full listing
+            best = -1
+            for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json")):
+                try:
+                    n = int(os.path.basename(p)[1:].split(".", 1)[0])
+                except ValueError:
+                    continue
+                best = max(best, n)
+            if best < 0:
+                raise FileNotFoundError(f"no metadata versions under {meta_dir}")
+            version = best
+        while os.path.exists(os.path.join(meta_dir, f"v{version + 1}.metadata.json")):
+            version += 1
         return version
 
     @staticmethod
@@ -252,6 +266,18 @@ class LakeTable:
         next_v = self.version + 1
         path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
         vfile = os.path.join(self._meta_dir, "VERSION")
+        # Stale-writer guard, checked BEFORE linking: metadata cleanup
+        # (expire_snapshots) deletes old version files, so a writer
+        # stale by more than the cleanup buffer could otherwise link
+        # into a freed slot below the live head and believe it
+        # committed while no reader ever resolves to it. Any staleness
+        # detected here returns False so the caller rebases. (This must
+        # NOT be checked after a successful link: by then a concurrent
+        # adopter may already have built the next version on top of our
+        # commit, and withdrawing it would both orphan their parent and
+        # double-apply our caller's retry.)
+        if LakeTable._live_version(self.location) > self.version:
+            return False
         tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(new_meta, f)
@@ -814,6 +840,17 @@ class LakeTable:
                 removed += 1
             except FileNotFoundError:
                 continue
+        # staging dirs from writers that crashed mid-_write_data_files
+        # (their finally-cleanup never ran) hold unregistered parquet
+        # parts outside data/ — same orphan class, same grace period
+        for d in glob.glob(os.path.join(self.location, "_staging-*")):
+            try:
+                if now - os.path.getmtime(d) < older_than_seconds:
+                    continue
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+            except FileNotFoundError:
+                continue
         return removed
 
     def expire_snapshots(self, keep_last: int = 1, keep_metadata_versions: int = 8) -> int:
@@ -831,6 +868,8 @@ class LakeTable:
         watermark falls behind the horizon get a clear error from
         ``read_incremental`` and recover via the rebuild path.
         """
+        if keep_last < 1:
+            raise ValueError("expire_snapshots requires keep_last >= 1")
         snaps = self.meta["snapshots"]
         dead_count = 0
         if len(snaps) > keep_last:

@@ -76,9 +76,34 @@ def split_statements(script: str) -> list[str]:
 
 
 def _strip_comments(sql: str) -> str:
-    sql = re.sub(r"/\*(?!:).*?\*/", "", sql, flags=re.S)
-    sql = re.sub(r"--[^\n]*", "", sql)
-    return sql.strip()
+    """Remove ``--`` and ``/* */`` comments OUTSIDE single-quoted
+    strings (a literal like ``'a--b'`` must survive); ``/*:label*/``
+    capture markers are preserved."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j == -1 else j
+        elif sql.startswith("/*", i) and not sql.startswith("/*:", i):
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out).strip()
 
 
 class SQLScripter:
@@ -221,7 +246,9 @@ class SQLScripter:
         end = self._find_end(
             st, i, r"(?is)^for\s+(select|with)\s", r"(?is)^end\s+for$"
         )
-        body = ";\n".join(st[i + 1 : end])
+        # the separator goes on its OWN line: a statement ending in a
+        # `--` line comment must not swallow the `;`
+        body = "\n;\n".join(st[i + 1 : end])
         # the loop query is control flow (partition lists, dates) —
         # driver-sized by contract, same as getl's eachRow here
         rows = self.spark.sql(query).collect()
@@ -245,7 +272,7 @@ class SQLScripter:
         end = self._find_end(st, i, r"(?is)^if\s", r"(?is)^end\s+if$")
         hit = self.spark.sql(f"SELECT 1 AS result WHERE {cond}").limit(1).collect()
         if hit:
-            body = ";\n".join(st[i + 1 : end])
+            body = "\n;\n".join(st[i + 1 : end])
             sub = split_statements(body)
             j = 0
             while j < len(sub) and not self._exit:
@@ -298,5 +325,10 @@ class SQLScripter:
             raise SQLScriptError("SAVE_POINT needs <table>.<point>")
         pm = self._point_manager(table, method)
         last = pm.last(pipeline=point_name)
+        # getl parity: SavePointManager guards MERGE saves with
+        # `value < new` and INSERT reads take MAX — a smaller value
+        # must never regress what LOAD_POINT returns
+        if last is not None and int(value) <= last.max_seq:
+            return
         epoch = 0 if last is None else last.epoch + 1
         pm.save(pipeline=point_name, epoch=epoch, max_seq=int(value))

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # reliable checkpoints (connected_components checkpoint_dir
+        # mode) are deleted when their RDD is GC'd instead of
+        # accumulating one full copy per iteration forever
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # lz4, not zstd: zstd's JNI enters GCLocker critical sections
         # that intermittently stall G1 at high in-JVM thread counts
         # (measured: epoch latency 8s -> 25-54s spikes at local[32]);

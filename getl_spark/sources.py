@@ -386,6 +386,16 @@ def read_jdbc(
     maps to the driver's row-batch size (getl fetchSize)."""
     if (table is None) == (query is None):
         raise ValueError("exactly one of table= or query= is required")
+    if limit is not None and partition_column is not None:
+        # each Spark partition re-executes the inner query with its own
+        # range predicate appended; without a total order the database
+        # may pick a DIFFERENT limit-set per execution, so the union is
+        # not any consistent result — refuse instead of corrupting
+        raise ValueError(
+            "limit= cannot be combined with partition_column=: the "
+            "FETCH FIRST subquery re-executes per partition and is not "
+            "stable across executions — drop the limit or read unpartitioned"
+        )
     pushed = query or jdbc_select_sql(table, fields, where, order, limit)
     needs_subquery = query is not None or any(
         v is not None for v in (fields, where, order, limit)

@@ -74,3 +74,12 @@ def test_jdbc_arg_validation(spark):
         read_jdbc(spark, "jdbc:derby:x", table="t", query="SELECT 1")
     with pytest.raises(ValueError, match="exactly one"):
         read_jdbc(spark, "jdbc:derby:x")
+
+
+def test_jdbc_limit_with_partitioning_rejected(spark):
+    with pytest.raises(ValueError, match="partition_column"):
+        read_jdbc(
+            spark, "jdbc:derby:x", table="t", limit=10,
+            partition_column="ID", lower_bound=0, upper_bound=100,
+            num_partitions=4,
+        )

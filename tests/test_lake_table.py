@@ -461,8 +461,9 @@ def test_version_regression_is_invisible_to_readers(spark, tmp_warehouse):
 
 
 def test_success_path_version_write_is_guarded(tmp_warehouse):
-    """_try_commit must not roll VERSION back when adopters advanced it
-    past next_v while this writer stalled between link and bump."""
+    """A stale writer whose link lands below the live head must have
+    its claim WITHDRAWN (returns False, slot removed) — committing it
+    would be invisible to readers — and VERSION must never roll back."""
     import json
     import shutil
 
@@ -477,13 +478,18 @@ def test_success_path_version_write_is_guarded(tmp_warehouse):
     )
     with open(vfile, "w") as f:
         f.write("5")
-    # stale handle (version 0) wins the link for v1 — its late bump
-    # must NOT write 1 over the current 5
+    # stale handle (version 0) links v1 below the head: withdrawn
     new_meta = json.loads(json.dumps(t.meta))
     new_meta["properties"]["stale"] = "1"
-    assert t._try_commit(new_meta) is True
+    assert t._try_commit(new_meta) is False
+    assert not os.path.exists(os.path.join(meta_dir, "v1.metadata.json"))
     with open(vfile) as f:
         assert int(f.read()) == 5
+    # the caller's retry loop lands the change at the head instead
+    t.refresh()
+    t.update_properties({"stale": "1"})
+    t2 = LakeTable.load(os.path.join(tmp_warehouse, "t_guard"))
+    assert t2.properties["stale"] == "1" and t2.version == 6
 
 
 def test_read_incremental_empty_range_pins_snapshot_schema(spark, table):
@@ -588,3 +594,39 @@ def test_remove_orphan_files(spark, table):
     assert table.read(spark).count() == 1  # referenced data untouched
     # zero grace collects the fresh orphan too
     assert table.remove_orphan_files(older_than_seconds=0) == 1
+
+
+def test_stale_writer_cannot_commit_into_recycled_slot(spark, table):
+    """Metadata cleanup frees old version slots; a writer stale by more
+    than the cleanup buffer must NOT silently 'commit' into a freed
+    slot (its write would be invisible to every reader) — it rebases
+    onto the live head instead."""
+    table.append(mk(spark, [row("a/r1", "f0.py", 1)]))
+    stale = LakeTable.load(table.location)  # version 1
+    for i in range(2, 12):
+        table.update_properties({"tick": str(i)})
+    table.expire_snapshots(keep_last=1, keep_metadata_versions=2)
+    meta_dir = os.path.join(table.location, "metadata")
+    assert not os.path.exists(os.path.join(meta_dir, "v2.metadata.json"))
+    head = table.version
+    stale.update_properties({"stale_write": "1"})  # would have linked v2
+    t2 = LakeTable.load(table.location)
+    assert t2.properties.get("stale_write") == "1", "stale commit was lost"
+    assert t2.version > head
+
+
+def test_expire_keep_last_zero_rejected(spark, table):
+    table.append(mk(spark, [row("a/r1", "f0.py", 1)]))
+    with pytest.raises(ValueError, match="keep_last"):
+        table.expire_snapshots(keep_last=0)
+
+
+def test_remove_orphans_cleans_crashed_staging_dirs(spark, table):
+    table.append(mk(spark, [row("a/r1", "f0.py", 1)]))
+    staging = os.path.join(table.location, "_staging-dead-beef")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(staging, (1, 1))
+    assert table.remove_orphan_files(older_than_seconds=3600) == 1
+    assert not os.path.exists(staging)

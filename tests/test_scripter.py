@@ -95,3 +95,33 @@ def test_nested_for_depth_counting(spark):
         """
     )
     assert sc.echoed == ["0-0", "0-1", "1-0", "1-1"]
+
+
+def test_comments_inside_string_literals_survive(spark):
+    sc = SQLScripter(spark)
+    sc.run("/*:r*/ SELECT 'a--b' AS v, 'x/*y*/z' AS w -- trailing\n")
+    assert sc.vars["r"] == [{"v": "a--b", "w": "x/*y*/z"}]
+
+
+def test_for_body_trailing_line_comment(spark):
+    sc = SQLScripter(spark)
+    sc.run(
+        "FOR SELECT id AS n FROM range(0, 2);\n"
+        "  SET SELECT {n} * 10 AS m -- times ten\n;\n"
+        "  ECHO got {m};\n"
+        "END FOR"
+    )
+    assert sc.echoed == ["got 0", "got 10"]
+
+
+def test_save_point_never_regresses(spark, tmp_warehouse):
+    cat = LakeCatalog(tmp_warehouse)
+    SQLScripter(spark, catalog=cat, vars={"v": 100}).run(
+        "SAVE_POINT _p.x FROM v WITH merge"
+    )
+    SQLScripter(spark, catalog=cat, vars={"v": 50}).run(
+        "SAVE_POINT _p.x FROM v WITH merge"  # stale smaller value
+    )
+    sc = SQLScripter(spark, catalog=cat)
+    sc.run("LOAD_POINT _p.x TO last WITH merge")
+    assert sc.vars["last"] == 100
