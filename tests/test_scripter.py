@@ -125,3 +125,16 @@ def test_save_point_never_regresses(spark, tmp_warehouse):
     sc = SQLScripter(spark, catalog=cat)
     sc.run("LOAD_POINT _p.x TO last WITH merge")
     assert sc.vars["last"] == 100
+
+
+def test_begin_block_runs_statements_raw(spark):
+    sc = SQLScripter(spark, vars={"n": 3})
+    sc.run(
+        """
+        BEGIN BLOCK;
+        CREATE OR REPLACE TEMP VIEW blk AS SELECT {n} AS v;
+        END BLOCK;
+        /*:r*/ SELECT v FROM blk
+        """
+    )
+    assert sc.vars["r"] == [{"v": 3}]
