@@ -40,6 +40,7 @@ class LakeCatalog:
         if if_not_exists and self.table_exists(name):
             return self.load_table(name)
         props = dict(properties or {})
+        import time as _time
         if primary_key is None:
             from getl_spark.schema import key_columns
 
@@ -49,7 +50,18 @@ class LakeCatalog:
             if missing:
                 raise ValueError(f"primary_key columns not in schema: {missing}")
             props.setdefault("primary.key", ",".join(primary_key))
-        return LakeTable.create(self._loc(name), schema, partition_spec, props, name=name)
+        try:
+            return LakeTable.create(self._loc(name), schema, partition_spec, props, name=name)
+        except FileExistsError:
+            if not if_not_exists:
+                raise
+            # lost a concurrent-creation race (both saw not-exists):
+            # wait out the winner's VERSION write and load
+            for _ in range(50):
+                if self.table_exists(name):
+                    return self.load_table(name)
+                _time.sleep(0.01)
+            raise
 
     def load_table(self, name: str) -> LakeTable:
         return LakeTable.load(self._loc(name))

@@ -116,9 +116,16 @@ def evolve_schema(schema: StructType, change: dict) -> StructType:
 
 
 def apply_evolution(table, change: dict) -> int:
-    """Commit one evolution op as a new schema version. Returns new schema id."""
+    """Commit one evolution op as a new schema version. Returns new
+    schema id. Idempotent: a change whose result equals the current
+    schema (e.g. a widen replayed after a crash-resume of an epoch
+    whose watermark already committed) is a no-op — without this,
+    every replay of the same epoch appends a duplicate schema version
+    and evolution-log entry."""
     while True:
         new_schema = evolve_schema(table.schema(), change)
+        if new_schema == table.schema():
+            return table.current_schema_id
         new_sid = table.current_schema_id + 1
         new_meta = json.loads(json.dumps(table.meta))
         new_meta["schemas"][str(new_sid)] = json.loads(new_schema.json())

@@ -138,7 +138,8 @@ class MergeBuilder:
             touched = None
             tgt = t.read(spark)
 
-        tcols = t.schema().fieldNames()
+        sch = t.schema()  # parsed once: schema() rebuilds from JSON per call
+        tcols = sch.fieldNames()
         scols = set(src.columns)
 
         # Force sort-merge for the upsert join: Catalyst's size estimate
@@ -160,15 +161,23 @@ class MergeBuilder:
         matched = t_ex & s_ex
 
         false_lit = F.lit(False)
-        del_hit = (matched & F.expr(self._matched_delete)) if self._matched_delete else false_lit
+
+        def cond_expr(c: str):
+            # three-valued logic guard: a clause condition evaluating
+            # to NULL must mean "clause does not fire", never "drop
+            # the row silently" (the final filter would exclude a
+            # NULL _del row without counting it as deleted)
+            return F.coalesce(F.expr(c), F.lit(False))
+
+        del_hit = (matched & cond_expr(self._matched_delete)) if self._matched_delete else false_lit
         if self._matched_update:
             upd_set, upd_cond = self._matched_update
-            upd_hit = matched & F.expr(upd_cond) & ~del_hit
+            upd_hit = matched & cond_expr(upd_cond) & ~del_hit
         else:
             upd_set, upd_hit = None, false_lit
         if self._not_matched_insert:
             ins_vals, ins_cond = self._not_matched_insert
-            ins_hit = (~t_ex) & s_ex & F.expr(ins_cond)
+            ins_hit = (~t_ex) & s_ex & cond_expr(ins_cond)
         else:
             ins_vals, ins_hit = None, false_lit
 
@@ -178,7 +187,7 @@ class MergeBuilder:
                 return F.expr(v) if isinstance(v, str) else v
             if c in scols:
                 return F.col(f"s.{c}")
-            return F.lit(None).cast(t.schema()[c].dataType)
+            return F.lit(None).cast(sch[c].dataType)
 
         def upd_value(c: str):
             """Delta/Iceberg semantics: with a set map, only the named
@@ -201,7 +210,7 @@ class MergeBuilder:
                 F.when(upd_hit, upd_v)
                 .when(ins_hit, ins_v)
                 .otherwise(F.col(f"t.{c}"))
-                .cast(t.schema()[c].dataType)
+                .cast(sch[c].dataType)
                 .alias(c)
             )
 
@@ -222,14 +231,33 @@ class MergeBuilder:
         props = (
             {f"watermark.{self._pipeline}": str(self._epoch)} if self._pipeline is not None else None
         )
+        # idempotency must hold through the commit layer's REBASE paths
+        # too (a disjoint-bucket rebase does not re-execute the merge):
+        # the precondition re-checks the watermark on every attempt
+        pre = None
+        if self._pipeline is not None:
+            wm_key, epoch = f"watermark.{self._pipeline}", self._epoch
+
+            def pre(meta):
+                wm = meta["properties"].get(wm_key)
+                return wm is None or int(wm) < epoch
+
         summary = dict(self._summary)
         if self._epoch is not None:
             summary["epoch"] = self._epoch
             summary["pipeline"] = self._pipeline
-        if touched is not None:
-            snap = t.overwrite_buckets(result, touched, summary, props)
-        else:
-            new = t._write_data_files(result.select(*tcols), "merge")
-            snap = t._commit_snapshot("overwrite", new, summary, props)
+        from getl_spark.lake.table import CommitSkipped
+
+        try:
+            if touched is not None:
+                snap = t.overwrite_buckets(result, touched, summary, props, precondition=pre)
+            else:
+                new = t._write_data_files(result.select(*tcols), "merge")
+                snap = t._commit_snapshot("overwrite", new, summary, props, precondition=pre)
+        except CommitSkipped:
+            return {
+                "skipped": True,
+                "reason": f"epoch {self._epoch} committed concurrently",
+            }
         stats = obs.get
         return {"snapshot": snap, "stats": stats, "skipped": False, "touched_buckets": touched}

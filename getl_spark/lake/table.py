@@ -57,6 +57,13 @@ class CommitConflict(Exception):
     """Another writer committed a conflicting change."""
 
 
+class CommitSkipped(Exception):
+    """A commit precondition failed after a refresh: another writer
+    already committed what this one was about to (e.g. the same
+    epoch's watermark). The caller should treat the operation as a
+    no-op, not an error."""
+
+
 @dataclass
 class PartitionSpec:
     """bucket(N, cols) partition spec (Iceberg-style bucket transform).
@@ -205,7 +212,16 @@ class LakeTable:
     ) -> "LakeTable":
         if LakeTable.exists(location):
             return LakeTable.load(location)
-        return LakeTable.create(location, schema, partition_spec, properties)
+        try:
+            return LakeTable.create(location, schema, partition_spec, properties)
+        except FileExistsError:
+            # lost the creation race: the winner wrote v0 first; wait
+            # out the tiny window before its VERSION write if needed
+            for _ in range(50):
+                if LakeTable.exists(location):
+                    return LakeTable.load(location)
+                time.sleep(0.01)
+            raise
 
     def refresh(self) -> "LakeTable":
         t = LakeTable.load(self.location)
@@ -324,8 +340,17 @@ class LakeTable:
         properties_update: dict | None = None,
         max_retries: int = 50,
         replaced_buckets: Iterable[int] | None = None,
+        precondition=None,
     ) -> dict:
         """Commit a new snapshot whose live file set is ``files``.
+
+        ``precondition(meta) -> bool`` is re-evaluated against the
+        freshly-refreshed metadata on EVERY attempt — the rebase paths
+        otherwise commit blindly, so without it two same-name writers
+        that both passed the caller-level idempotency check can
+        double-apply an epoch (append rebase) or regress a watermark
+        property (disjoint-bucket rebase). A failed precondition
+        raises :class:`CommitSkipped`.
 
         On a concurrent-commit race, reloads metadata and retries with
         jittered exponential backoff (without it, many writers can
@@ -348,6 +373,8 @@ class LakeTable:
         for attempt in range(max_retries):
             if attempt:
                 time.sleep(min(0.001 * (2 ** min(attempt, 8)), 0.2) * (0.5 + random.random()))
+            if precondition is not None and not precondition(self.meta):
+                raise CommitSkipped(f"commit precondition failed on {self.location}")
             snap_id = (self.meta["current_snapshot_id"] or 0) + 1
             snap = {
                 "snapshot_id": snap_id,
@@ -498,12 +525,21 @@ class LakeTable:
         df: DataFrame,
         summary: dict | None = None,
         properties_update: dict | None = None,
+        precondition=None,
     ) -> dict:
         new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
-        files = self.current_files() + new
-        s = {"added_files": len(new), "added_rows": sum(f["rows"] for f in new)}
-        s.update(summary or {})
-        return self._commit_snapshot("append", files, s, properties_update)
+        try:
+            files = self.current_files() + new
+            s = {"added_files": len(new), "added_rows": sum(f["rows"] for f in new)}
+            s.update(summary or {})
+            return self._commit_snapshot("append", files, s, properties_update, precondition=precondition)
+        except CommitSkipped:
+            for f in new:  # our files never became visible
+                try:
+                    os.remove(os.path.join(self.location, f["path"]))
+                except OSError:
+                    pass
+            raise
 
     def overwrite_buckets(
         self,
@@ -511,6 +547,7 @@ class LakeTable:
         buckets: Iterable[int],
         summary: dict | None = None,
         properties_update: dict | None = None,
+        precondition=None,
     ) -> dict:
         """Copy-on-write: replace all files in ``buckets`` with ``df``.
 
@@ -530,7 +567,8 @@ class LakeTable:
         }
         s.update(summary or {})
         return self._commit_snapshot(
-            "overwrite", kept + new, s, properties_update, replaced_buckets=buckets
+            "overwrite", kept + new, s, properties_update,
+            replaced_buckets=buckets, precondition=precondition,
         )
 
     def overwrite_all(self, df: DataFrame, summary: dict | None = None) -> dict:
@@ -547,6 +585,10 @@ class LakeTable:
         (/root/reference/src/main/groovy/getl/jdbc/JDBCDriver.groovy:2270-2310).
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        # SQL DELETE semantics: only rows where cond is TRUE are
+        # deleted; a NULL-evaluating condition KEEPS the row (a bare
+        # ~cond would silently drop NULL rows from the keep set)
+        cond = F.coalesce(cond, F.lit(False))
         spec = self.partition_spec
         if spec.kind == "bucket":
             hit = (
@@ -654,16 +696,26 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         files = self.current_files()
-        sid = self.current_schema_id
-        if any(int(f["schema_id"]) != sid for f in files):
-            raise ValueError("read_pandas requires all files at current schema")
+        cur_fields = self.schema().fieldNames()
         if not files:
-            cols = columns or self.schema().fieldNames()
+            cols = columns or cur_fields
             return pd.DataFrame({c: [] for c in cols})
-        parts = [
-            pq.read_table(os.path.join(self.location, f["path"]), columns=columns).to_pandas()
-            for f in files
-        ]
+        parts = []
+        for f in files:
+            pdf = pq.read_table(os.path.join(self.location, f["path"])).to_pandas()
+            extra = [c for c in pdf.columns if c not in cur_fields]
+            missing = [c for c in cur_fields if c not in pdf.columns]
+            if extra:
+                # renamed/dropped columns need the Spark reader's full
+                # upgrade path; bookkeeping tables only ever add
+                raise ValueError(
+                    "read_pandas supports add-only schema evolution; "
+                    f"file {f['path']} has non-current columns {extra}"
+                )
+            for c in missing:  # file predates an add_column: typed null
+                pdf[c] = None
+            pdf = pdf[columns or cur_fields]
+            parts.append(pdf)
         return pd.concat(parts, ignore_index=True)
 
     def count_rows(self, buckets: Iterable[int] | None = None) -> int:

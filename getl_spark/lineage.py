@@ -31,7 +31,8 @@ from getl_spark.schema import parse_ddl
 
 LINEAGE_SCHEMA = parse_ddl(
     "epoch bigint, partition_id int, seq_min bigint, seq_max bigint, "
-    "event_count bigint, bytes bigint, apply_latency_ms bigint"
+    "event_count bigint, bytes bigint, apply_latency_ms bigint, "
+    "pipeline string"
 )
 
 _COLS = [f.name for f in LINEAGE_SCHEMA.fields]
@@ -42,8 +43,15 @@ class LineageRecorder:
         self.table = catalog.create_table(
             table_name, LINEAGE_SCHEMA, PartitionSpec.none(), if_not_exists=True
         )
+        # two pipelines sharing one warehouse share this table; without
+        # a pipeline column their epoch numbers collide and the repair
+        # path deletes each other's rows. Pre-upgrade tables evolve in
+        # place (the column is last, so row layout stays compatible;
+        # legacy rows read NULL).
+        if "pipeline" not in self.table.schema().fieldNames():
+            self.table.add_column("pipeline", "string")
 
-    def compute(self, events: DataFrame, epoch: int, bucket_expr, latency_ms: int) -> pd.DataFrame:
+    def compute(self, events: DataFrame, epoch: int, bucket_expr, latency_ms: int, pipeline: str = "tail") -> pd.DataFrame:
         """One distributed agg -> <= num_buckets collected rows."""
         rows = (
             events.groupBy(bucket_expr.cast("int").alias("partition_id"))
@@ -65,33 +73,48 @@ class LineageRecorder:
                     "event_count": int(r["event_count"]),
                     "bytes": int(r["bytes"]),
                     "apply_latency_ms": int(latency_ms),
+                    "pipeline": pipeline,
                 }
                 for r in rows
             ],
             columns=_COLS,
         )
-        return pdf.astype({c: "int64" for c in _COLS if c != "partition_id"}).astype(
+        num_cols = [c for c in _COLS if c not in ("partition_id", "pipeline")]
+        return pdf.astype({c: "int64" for c in num_cols}).astype(
             {"partition_id": "int32"}
         ) if len(pdf) else pdf
 
-    def record(self, spark: SparkSession, events: DataFrame, epoch: int, bucket_expr, latency_ms: int) -> pd.DataFrame:
+    def record(self, spark: SparkSession, events: DataFrame, epoch: int, bucket_expr, latency_ms: int, pipeline: str = "tail") -> pd.DataFrame:
         """Aggregate + persist lineage; returns the epoch's rows."""
-        pdf = self.compute(events, epoch, bucket_expr, latency_ms)
-        self.write(pdf, epoch)
+        pdf = self.compute(events, epoch, bucket_expr, latency_ms, pipeline)
+        self.write(pdf, epoch, pipeline)
         return pdf
 
-    def write(self, pdf: pd.DataFrame, epoch: int) -> pd.DataFrame:
-        """Persist precomputed lineage rows (idempotent per epoch)."""
+    def write(self, pdf: pd.DataFrame, epoch: int, pipeline: str = "tail") -> pd.DataFrame:
+        """Persist precomputed lineage rows (idempotent per
+        (pipeline, epoch) — another pipeline's identical epoch number
+        is NOT a duplicate)."""
         self.table.refresh()
-        recorded = {int(s["summary"].get("epoch", -1)) for s in self.table.meta["snapshots"]}
-        if int(epoch) in recorded:
-            # crash repair: atomically replace this epoch's rows
+        recorded = {
+            (s["summary"].get("pipeline"), int(s["summary"].get("epoch", -1)))
+            for s in self.table.meta["snapshots"]
+        }
+        mine = (pipeline, int(epoch)) in recorded or (None, int(epoch)) in recorded
+        if mine:
+            # crash repair: atomically replace this pipeline's epoch rows
             existing = self.table.read_pandas()
-            keep = existing[existing["epoch"] != int(epoch)]
+            keep = existing[
+                ~(
+                    (existing["epoch"] == int(epoch))
+                    & (existing["pipeline"].isin([pipeline]) | existing["pipeline"].isna())
+                )
+            ]
             merged = pd.concat([keep, pdf], ignore_index=True) if len(pdf) else keep
-            self.table.overwrite_pandas(merged, {"epoch": int(epoch), "repair": True})
+            self.table.overwrite_pandas(
+                merged, {"epoch": int(epoch), "pipeline": pipeline, "repair": True}
+            )
         elif len(pdf):
-            self.table.append_pandas(pdf, {"epoch": int(epoch)})
+            self.table.append_pandas(pdf, {"epoch": int(epoch), "pipeline": pipeline})
         return pdf
 
     def read(self, spark: SparkSession) -> DataFrame:

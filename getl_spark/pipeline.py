@@ -70,6 +70,7 @@ class CDCPipeline:
         broadcast_cap: int = 5_000_000,
         keep_snapshots: int | None = None,
         compact_every: int | None = None,
+        verify_unique_seq: bool = True,
     ):
         """``merge_mode``:
 
@@ -92,12 +93,25 @@ class CDCPipeline:
         self.spark = spark
         self.name = name
         self.keys = list(keys)
+        if "repo" not in self.keys:
+            # the bucket spec partitions on "repo": keys that do not
+            # contain the partition column would yield several winner
+            # rows per logical merge key and wrong bucket pruning
+            raise ValueError("keys must include the partition column 'repo'")
         # "broadcast" is safe because the event log guarantees unique
         # seq (FIXTURES §2); epochs whose key count exceeds
         # ``broadcast_cap`` fall back to the "agg" strategy (the key
         # count comes free from the lineage aggregation — no extra job)
         self.lww_strategy = lww_strategy
         self.broadcast_cap = int(broadcast_cap)
+        # The broadcast fast path's precondition is globally-unique seq
+        # (FIXTURES §2). An at-least-once source that redelivers the
+        # SAME seq would leave duplicate winner rows (the inner join
+        # keeps every copy). Verified per epoch with one narrow
+        # distinct-count job over the seq column; violations fall back
+        # to the agg strategy, which collapses duplicates. Disable for
+        # sources that guarantee uniqueness end-to-end.
+        self.verify_unique_seq = bool(verify_unique_seq)
         self.last_lww_strategy: str | None = None  # effective strategy of the last epoch
         # bounded metadata: keep at most N snapshots per table (None =
         # unbounded). Every commit rewrites the full snapshot list, so
@@ -110,7 +124,6 @@ class CDCPipeline:
         # resets it to one resolved file set. Incremental consumers
         # crossing a compaction recover via the rebuild path.
         self.compact_every = int(compact_every) if compact_every else None
-        self.merge_mode = merge_mode
         self.catalog = LakeCatalog(warehouse)
         self.target: LakeTable = self.catalog.create_table(
             target_table,
@@ -167,6 +180,7 @@ class CDCPipeline:
                 .collect()
             )
             n_keys = sum(int(r["_kc"]) for r in lin_rows)
+            n_events_epoch = sum(int(r["event_count"]) for r in lin_rows)
 
             # write_salt="auto": size the skew salt from this (first)
             # epoch's observed histogram and persist it as the table
@@ -183,6 +197,7 @@ class CDCPipeline:
                         "event_count": int(r["event_count"]),
                         "bytes": int(r["bytes"]),
                         "apply_latency_ms": 0,
+                        "pipeline": self.name,
                     }
                     for r in lin_rows
                 ],
@@ -190,7 +205,7 @@ class CDCPipeline:
             )
             touched = [int(b) for b in lin["partition_id"]] if len(lin) else []
 
-            winners = self._select_winners(events, per_key, n_keys)
+            winners = self._select_winners(events, per_key, n_keys, n_events_epoch)
             # Deletes become TOMBSTONES (_deleted=true) rather than
             # physical row removal, and every arm is guarded by
             # s._seq > t._seq: the per-key state is monotonic in seq,
@@ -231,12 +246,29 @@ class CDCPipeline:
                             for f in self.target.schema().fields
                         ]
                     )
-                    snap = self.target.append(
-                        delta,
-                        {"engine": "getl_spark", "epoch": int(epoch), "pipeline": self.name, "mor_delta": True},
-                        {f"watermark.{self.name}": str(int(epoch))},
-                    )
-                    res = {"snapshot": snap, "stats": {}, "skipped": False}
+                    # the precondition re-checks the watermark on every
+                    # commit attempt: a concurrent same-name tailer
+                    # that committed this epoch first must make OUR
+                    # append a no-op, not a duplicate delta (append
+                    # rebases blindly at the commit layer otherwise)
+                    from getl_spark.lake.table import CommitSkipped
+
+                    wm_key = f"watermark.{self.name}"
+
+                    def _pre(meta, _e=int(epoch), _k=wm_key):
+                        w = meta["properties"].get(_k)
+                        return w is None or int(w) < _e
+
+                    try:
+                        snap = self.target.append(
+                            delta,
+                            {"engine": "getl_spark", "epoch": int(epoch), "pipeline": self.name, "mor_delta": True},
+                            {wm_key: str(int(epoch))},
+                            precondition=_pre,
+                        )
+                        res = {"snapshot": snap, "stats": {}, "skipped": False}
+                    except CommitSkipped:
+                        res = {"skipped": True, "reason": f"epoch {epoch} committed concurrently"}
             else:
                 mb = (
                     self.target.merge(src)
@@ -253,7 +285,7 @@ class CDCPipeline:
 
             if len(lin):
                 lin["apply_latency_ms"] = int(latency_ms)
-                self.lineage.write(lin, epoch)
+                self.lineage.write(lin, epoch, pipeline=self.name)
             n_events = int(lin["event_count"].sum()) if len(lin) else 0
             max_seq = int(lin["seq_max"].max()) if len(lin) else None
             if max_seq is not None:
@@ -323,7 +355,9 @@ class CDCPipeline:
             else {}
         )
 
-    def _select_winners(self, events: DataFrame, per_key: DataFrame, n_keys: int) -> DataFrame:
+    def _select_winners(
+        self, events: DataFrame, per_key: DataFrame, n_keys: int, n_events: int | None = None
+    ) -> DataFrame:
         """Pick the epoch's LWW winner rows under the configured strategy.
 
         The broadcast fast path reuses ``per_key`` (already persisted —
@@ -342,6 +376,11 @@ class CDCPipeline:
         strategy = self.lww_strategy
         if strategy == "broadcast" and n_keys > self.broadcast_cap:
             strategy = "agg"
+        if strategy == "broadcast" and self.verify_unique_seq and n_events:
+            # one narrow-column job; a same-seq redelivery breaks the
+            # fast path's precondition, so that epoch takes agg
+            if events.select("seq").distinct().count() != n_events:
+                strategy = "agg"
         self.last_lww_strategy = strategy
         if strategy == "broadcast":
             return events.join(
@@ -470,6 +509,9 @@ class CDCPipeline:
         counters as a queryable table)."""
         spark = spark or self.spark
         lin = self.lineage.table.read(spark)
+        # scope to THIS pipeline; legacy (pre-upgrade) rows have a NULL
+        # pipeline and are attributed to whoever reads them
+        lin = lin.filter((F.col("pipeline") == self.name) | F.col("pipeline").isNull())
         return (
             lin.groupBy("epoch")
             .agg(

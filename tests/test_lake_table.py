@@ -630,3 +630,29 @@ def test_remove_orphans_cleans_crashed_staging_dirs(spark, table):
     os.utime(staging, (1, 1))
     assert table.remove_orphan_files(older_than_seconds=3600) == 1
     assert not os.path.exists(staging)
+
+
+def test_delete_where_null_condition_keeps_rows(spark, table):
+    """SQL DELETE semantics: rows where the predicate is NULL are NOT
+    deleted (a bare ~cond would silently drop them)."""
+    table.append(
+        mk(spark, [row("a/r1", "f1.py", 1), dict(row("a/r1", "f2.py", 2), lang=None)])
+    )
+    table.delete_where(spark, "lang = 'go'")  # NULL for f2.py
+    assert table.read(spark).count() == 2
+
+
+def test_merge_null_clause_condition_does_not_drop_rows(spark, table):
+    """A matched-delete condition evaluating to NULL must not delete
+    the target row (nor vanish it uncounted)."""
+    table.append(mk(spark, [row("a/r1", "f1.py", 1)]))
+    src = mk(spark, [dict(row("a/r1", "f1.py", 2), lang=None)])
+    res = (
+        table.merge(src)
+        .on(["repo", "path"])
+        .when_matched_delete("s.lang = 'go'")  # NULL
+        .when_matched_update()
+        .execute(spark)
+    )
+    assert res["stats"]["deleted"] == 0 and res["stats"]["updated"] == 1
+    assert table.read(spark).count() == 1
