@@ -15,6 +15,11 @@ Env knobs:
   SPARK_GRAFT_BENCH_EPOCHS (default 4)
   SPARK_GRAFT_BENCH_MODE   ("full" | "replay_only")
   SPARK_GRAFT_EVENT_LOG    (reuse a pre-generated log dir; skips gen)
+  SPARK_GRAFT_BENCH_TRIALS (default 2 — min-of-N for replay + query
+                            phases; gen runs once and is excluded from
+                            the trials. Matches BENCH.md's documented
+                            min-of-trials methodology so the recorded
+                            artifact is robust to host noise.)
 
 Scaling evidence (N vs 4N cores) is produced by
 scripts/scaling_bench.py and recorded in BENCH.md.
@@ -60,6 +65,7 @@ def main():
     n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
     reuse_log = os.environ.get("SPARK_GRAFT_EVENT_LOG")
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark("getl-spark-bench", cpus=cpus)
@@ -80,37 +86,53 @@ def main():
             write_event_log(ev, log_path)
         timings["gen"] = time.monotonic() - t0
 
-        # -- phase 2: CDC replay (the headline)
-        t0 = time.monotonic()
-        pipe = CDCPipeline(
-            spark, os.path.join(tmp, "wh"), num_buckets=32, write_salt=2
-        )
-        results = pipe.replay(
-            read_event_log(spark, log_path), epoch_size=(n_events + n_epochs - 1) // n_epochs
-        )
-        replay_sec = time.monotonic() - t0
-        applied = sum(r.events for r in results)
+        # -- phase 2: CDC replay (the headline), min-of-N trials on the
+        # pre-generated log. Each trial replays into a FRESH warehouse;
+        # trial 1 carries JIT/codegen warmup, so min-of-N is the honest
+        # sustained figure and is robust to noisy-neighbor spikes
+        # (BENCH.md documents up to 4x single-shot run-to-run variance).
+        epoch_size = (n_events + n_epochs - 1) // n_epochs
+        replay_trials, results, applied, final_rows = [], None, 0, 0
+        for trial in range(n_trials):
+            wh = os.path.join(tmp, f"wh_t{trial}")
+            t0 = time.monotonic()
+            pipe = CDCPipeline(spark, wh, num_buckets=32, write_salt=2)
+            r = pipe.replay(read_event_log(spark, log_path), epoch_size=epoch_size)
+            sec = time.monotonic() - t0
+            rows = pipe.target.count_rows()
+            if results is None or sec < min(replay_trials):
+                results, final_rows = r, rows
+            if final_rows != rows:
+                raise AssertionError(f"trial row-count drift: {final_rows} vs {rows}")
+            replay_trials.append(sec)
+            applied = sum(x.events for x in r)
+            shutil.rmtree(wh, ignore_errors=True)
+        replay_sec = min(replay_trials)
         timings["replay"] = replay_sec
         events_per_sec = applied / replay_sec if replay_sec > 0 else 0.0
-        # steady state: exclude the first epoch (JIT/codegen warmup) —
-        # the honest sustained-throughput figure for scaling evidence
+        # steady state: exclude the first epoch of the best trial
         steady = [r for r in results[1:]]
         steady_sec = sum(r.latency_ms for r in steady) / 1000.0
         steady_eps = (
             sum(r.events for r in steady) / steady_sec if steady_sec > 0 else 0.0
         )
-        final_rows = pipe.target.count_rows()
 
         # -- phase 2b: merge-on-read replay (O(epoch) appends + compaction)
-        t0 = time.monotonic()
-        pipe_mor = CDCPipeline(
-            spark, os.path.join(tmp, "wh_mor"), num_buckets=32, write_salt=2, merge_mode="mor"
-        )
-        mor_results = pipe_mor.replay(
-            read_event_log(spark, log_path), epoch_size=(n_events + n_epochs - 1) // n_epochs
-        )
-        pipe_mor.compact()
-        mor_sec = time.monotonic() - t0
+        mor_trials, mor_results = [], None
+        for trial in range(n_trials):
+            wh = os.path.join(tmp, f"wh_mor_t{trial}")
+            t0 = time.monotonic()
+            pipe_mor = CDCPipeline(
+                spark, wh, num_buckets=32, write_salt=2, merge_mode="mor"
+            )
+            r = pipe_mor.replay(read_event_log(spark, log_path), epoch_size=epoch_size)
+            pipe_mor.compact()
+            sec = time.monotonic() - t0
+            if mor_results is None or sec < min(mor_trials):
+                mor_results = r
+            mor_trials.append(sec)
+            shutil.rmtree(wh, ignore_errors=True)
+        mor_sec = min(mor_trials)
         timings["replay_mor"] = mor_sec
         mor_steady = mor_results[1:]
         mor_steady_sec = sum(r.latency_ms for r in mor_steady) / 1000.0
@@ -118,13 +140,17 @@ def main():
             sum(r.events for r in mor_steady) / mor_steady_sec if mor_steady_sec > 0 else 0.0
         )
 
-        # -- phase 3: analytical queries at sf_dir
+        # -- phase 3: analytical queries at sf_dir (min-of-N each)
         if mode == "full":
             qs = all_queries()
             for name in BENCH_QUERIES:
-                t0 = time.monotonic()
-                qs[name](spark, sf_dir).count()
-                timings[name] = time.monotonic() - t0
+                best = None
+                for _ in range(n_trials):
+                    t0 = time.monotonic()
+                    qs[name](spark, sf_dir).count()
+                    sec = time.monotonic() - t0
+                    best = sec if best is None else min(best, sec)
+                timings[name] = best
 
         out = {
             "metric": "cdc_replay_plus_queries_total",
@@ -141,6 +167,9 @@ def main():
             "final_rows": final_rows,
             "cpus": cpus,
             "epochs": len(results),
+            "trials": n_trials,
+            "replay_trials_sec": [round(s, 3) for s in replay_trials],
+            "replay_mor_trials_sec": [round(s, 3) for s in mor_trials],
         }
         print(json.dumps(out))
     finally:

@@ -196,6 +196,9 @@ def main(argv=None):
 
             cat = LakeCatalog(args.warehouse)
             cat.register_views(spark)
+        bad = [v for v in args.var if "=" not in v]
+        if bad:
+            p.error(f"--var expects NAME=VALUE, got: {', '.join(bad)}")
         ext = dict(v.split("=", 1) for v in args.var)
         sc = SQLScripter(spark, ext_vars=ext, catalog=cat)
         sc.load_file(args.file)

@@ -250,10 +250,21 @@ class MergeBuilder:
 
         try:
             if touched is not None:
+                # overwrite_buckets deletes its fresh files on CommitSkipped
                 snap = t.overwrite_buckets(result, touched, summary, props, precondition=pre)
             else:
                 new = t._write_data_files(result.select(*tcols), "merge")
-                snap = t._commit_snapshot("overwrite", new, summary, props, precondition=pre)
+                try:
+                    snap = t._commit_snapshot("overwrite", new, summary, props, precondition=pre)
+                except CommitSkipped:
+                    import os
+
+                    for f in new:  # never became visible — don't leak orphans
+                        try:
+                            os.remove(os.path.join(t.location, f["path"]))
+                        except OSError:
+                            pass
+                    raise
         except CommitSkipped:
             return {
                 "skipped": True,

@@ -566,10 +566,21 @@ class LakeTable:
             "added_rows": sum(f["rows"] for f in new),
         }
         s.update(summary or {})
-        return self._commit_snapshot(
-            "overwrite", kept + new, s, properties_update,
-            replaced_buckets=buckets, precondition=precondition,
-        )
+        try:
+            return self._commit_snapshot(
+                "overwrite", kept + new, s, properties_update,
+                replaced_buckets=buckets, precondition=precondition,
+            )
+        except CommitSkipped:
+            # mirror append(): our fresh files never became visible —
+            # delete them instead of leaving orphans for maintenance
+            # (kept files belong to prior snapshots and stay)
+            for f in new:
+                try:
+                    os.remove(os.path.join(self.location, f["path"]))
+                except OSError:
+                    pass
+            raise
 
     def overwrite_all(self, df: DataFrame, summary: dict | None = None) -> dict:
         new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
@@ -700,11 +711,12 @@ class LakeTable:
         if not files:
             cols = columns or cur_fields
             return pd.DataFrame({c: [] for c in cols})
+        want = columns or cur_fields
         parts = []
         for f in files:
-            pdf = pq.read_table(os.path.join(self.location, f["path"])).to_pandas()
-            extra = [c for c in pdf.columns if c not in cur_fields]
-            missing = [c for c in cur_fields if c not in pdf.columns]
+            pf = pq.ParquetFile(os.path.join(self.location, f["path"]))
+            file_cols = pf.schema_arrow.names
+            extra = [c for c in file_cols if c not in cur_fields]
             if extra:
                 # renamed/dropped columns need the Spark reader's full
                 # upgrade path; bookkeeping tables only ever add
@@ -712,9 +724,14 @@ class LakeTable:
                     "read_pandas supports add-only schema evolution; "
                     f"file {f['path']} has non-current columns {extra}"
                 )
-            for c in missing:  # file predates an add_column: typed null
-                pdf[c] = None
-            pdf = pdf[columns or cur_fields]
+            # project at the parquet reader — this is a per-epoch hot
+            # path (checkpoint/lineage reads), don't materialize columns
+            # the caller didn't ask for
+            pdf = pf.read(columns=[c for c in want if c in file_cols]).to_pandas()
+            for c in want:  # file predates an add_column: typed null
+                if c not in pdf.columns:
+                    pdf[c] = None
+            pdf = pdf[want]
             parts.append(pdf)
         return pd.concat(parts, ignore_index=True)
 

@@ -46,10 +46,19 @@ class LineageRecorder:
         # two pipelines sharing one warehouse share this table; without
         # a pipeline column their epoch numbers collide and the repair
         # path deletes each other's rows. Pre-upgrade tables evolve in
-        # place (the column is last, so row layout stays compatible;
-        # legacy rows read NULL).
+        # place (the column is last, so row layout stays compatible) and
+        # legacy NULL rows are backfilled to the pre-upgrade default
+        # pipeline name ("tail") in the same upgrade — otherwise every
+        # pipeline claims them in metrics() and any pipeline's crash
+        # repair deletes them.
         if "pipeline" not in self.table.schema().fieldNames():
             self.table.add_column("pipeline", "string")
+            existing = self.table.read_pandas()
+            if len(existing):
+                existing["pipeline"] = existing["pipeline"].fillna("tail")
+                self.table.overwrite_pandas(
+                    existing, {"backfill": "pipeline<-tail (legacy rows)"}
+                )
 
     def compute(self, events: DataFrame, epoch: int, bucket_expr, latency_ms: int, pipeline: str = "tail") -> pd.DataFrame:
         """One distributed agg -> <= num_buckets collected rows."""
@@ -102,11 +111,13 @@ class LineageRecorder:
         mine = (pipeline, int(epoch)) in recorded or (None, int(epoch)) in recorded
         if mine:
             # crash repair: atomically replace this pipeline's epoch rows
+            # ONLY (legacy NULLs were backfilled at upgrade, so no other
+            # pipeline's rows can match here)
             existing = self.table.read_pandas()
             keep = existing[
                 ~(
                     (existing["epoch"] == int(epoch))
-                    & (existing["pipeline"].isin([pipeline]) | existing["pipeline"].isna())
+                    & (existing["pipeline"] == pipeline)
                 )
             ]
             merged = pd.concat([keep, pdf], ignore_index=True) if len(pdf) else keep

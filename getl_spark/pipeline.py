@@ -71,6 +71,7 @@ class CDCPipeline:
         keep_snapshots: int | None = None,
         compact_every: int | None = None,
         verify_unique_seq: bool = True,
+        schema_policy: str | None = None,
     ):
         """``merge_mode``:
 
@@ -88,6 +89,16 @@ class CDCPipeline:
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError("merge_mode must be 'cow' or 'mor'")
+        if schema_policy not in (None, "merge", "merge_exists"):
+            raise ValueError("schema_policy must be None, 'merge' or 'merge_exists'")
+        # implicit schema-diff evolution (getl updateFields MERGE /
+        # MERGE_EXISTS, data/Dataset.groovy:449-485): per epoch, diff
+        # the incoming frame's schema against the target and apply
+        # add/widen ("merge") plus drop-missing ("merge_exists")
+        # through the same transactional evolution path as explicit
+        # events. Renames stay explicit — underivable from data
+        # (SURVEY §7.4 risk 4).
+        self.schema_policy = schema_policy
         if isinstance(write_salt, str) and write_salt != "auto":
             raise ValueError("write_salt must be an int or 'auto'")
         self.spark = spark
@@ -146,6 +157,8 @@ class CDCPipeline:
         try:
             for change in schema_changes or []:
                 self._apply_schema_change(change)
+            if self.schema_policy:
+                self._apply_schema_policy(events)
 
             spec = self.target.partition_spec
             bucket_expr = spec.bucket_expr() if spec.kind == "bucket" else F.lit(0)
@@ -403,6 +416,79 @@ class CDCPipeline:
                 src = src.withColumnRenamed(old, new)
         return src
 
+    def _apply_schema_policy(self, events: DataFrame) -> None:
+        """Implicit evolution by schema diff (getl updateFields MERGE /
+        MERGE_EXISTS, data/Dataset.groovy:449-485).
+
+        Driver-side only — reads ``events.schema``, never the data, so
+        it costs no Spark job. Incoming names are first mapped through
+        the target's rename history (a not-yet-migrated source must not
+        re-add a renamed column under its old name). Then:
+
+        - column in the frame but not the target  -> ``add_column``
+        - same column, legally wider type         -> ``widen_column``
+        - same column, narrower type              -> no-op (the apply
+          path casts to the target type anyway)
+        - same column, incompatible type          -> ValueError (an
+          implicit lossy change is a bug upstream; send explicit
+          drop+add events to force it)
+        - "merge_exists" only: target column absent from the frame ->
+          ``drop_column`` (keys and engine-internal columns protected)
+
+        Every step commits through the idempotent evolution path, so a
+        crash-resumed epoch re-diffs to a no-op.
+        """
+        from getl_spark.lake.evolution import check_widen
+
+        internal_src = {"seq", "op"}
+        internal_tgt = {"_seq", "_epoch", "_deleted"}
+        renames: dict[str, str] = {}
+        for entry in self.target.meta["evolution_log"]:
+            if entry["op"] == "rename":
+                renames[entry["column"]] = entry["new_name"]
+
+        def mapped(name: str) -> str:
+            seen = set()
+            while name in renames and name not in seen:
+                seen.add(name)
+                name = renames[name]
+            return name
+
+        tgt = {f.name: f.dataType for f in self.target.schema().fields}
+        src_names: set[str] = set()
+        for f in events.schema.fields:
+            if f.name in internal_src:
+                continue
+            name = mapped(f.name)
+            src_names.add(name)
+            incoming = f.dataType.simpleString()
+            if name not in tgt:
+                self.target.add_column(name, incoming)
+                tgt[name] = f.dataType
+                continue
+            current = tgt[name].simpleString()
+            if current == incoming:
+                continue
+            try:
+                check_widen(current, incoming)
+            except ValueError:
+                try:  # narrower incoming casts cleanly on apply — keep target type
+                    check_widen(incoming, current)
+                except ValueError:
+                    raise ValueError(
+                        f"schema_policy={self.schema_policy}: incompatible "
+                        f"implicit type change for '{name}': {current} -> "
+                        f"{incoming}; send explicit schema-change events"
+                    ) from None
+            else:
+                self.target.widen_column(name, incoming)
+
+        if self.schema_policy == "merge_exists":
+            for name in list(tgt):
+                if name in internal_tgt or name in self.keys or name in src_names:
+                    continue
+                self.target.drop_column(name)
+
     def _apply_schema_change(self, change: dict) -> None:
         """Transactional DDL (FIXTURES.md §3 shape)."""
         kind = change["change"]
@@ -509,9 +595,10 @@ class CDCPipeline:
         counters as a queryable table)."""
         spark = spark or self.spark
         lin = self.lineage.table.read(spark)
-        # scope to THIS pipeline; legacy (pre-upgrade) rows have a NULL
-        # pipeline and are attributed to whoever reads them
-        lin = lin.filter((F.col("pipeline") == self.name) | F.col("pipeline").isNull())
+        # scope to THIS pipeline (legacy pre-upgrade rows were
+        # backfilled to "tail", the pre-upgrade default, at upgrade —
+        # no NULLs survive, so no cross-pipeline double-attribution)
+        lin = lin.filter(F.col("pipeline") == self.name)
         return (
             lin.groupBy("epoch")
             .agg(

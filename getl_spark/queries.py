@@ -237,31 +237,34 @@ SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
 
 
 def q_set_intersect(spark, sf_dir):
+    # split at 1998: generated orders span 1995-2001, so both branches and
+    # their overlap are non-empty at every sf (the former <1995 split made
+    # one side the empty relation and the oracle vacuous — VERDICT r3 #1)
     o = _t(spark, sf_dir, "orders")
-    early = o.filter(F.year("o_orderdate") < 1995).select("o_custkey")
-    late = o.filter(F.year("o_orderdate") >= 1995).select("o_custkey")
+    early = o.filter(F.year("o_orderdate") < 1998).select("o_custkey")
+    late = o.filter(F.year("o_orderdate") >= 1998).select("o_custkey")
     return early.intersect(late)
 
 
 SQL_SET_INTERSECT = """
-SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1995
+SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998
 INTERSECT
-SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1995
+SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998
 """
 
 
 def q_set_except(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    early = o.filter(F.year("o_orderdate") < 1995).select("o_custkey")
-    late = o.filter(F.year("o_orderdate") >= 1995).select("o_custkey")
+    early = o.filter(F.year("o_orderdate") < 1998).select("o_custkey")
+    late = o.filter(F.year("o_orderdate") >= 1998).select("o_custkey")
     return early.exceptAll(late).distinct()
 
 
 SQL_SET_EXCEPT = """
 SELECT DISTINCT o_custkey FROM (
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1995
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998
   EXCEPT ALL
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1995
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998
 )
 """
 
@@ -314,6 +317,15 @@ def q_type_convert(spark, sf_dir):
         F.year("o_orderdate").cast("int").alias("yr"),
         F.month("o_orderdate").cast("int").alias("mo"),
         F.col("o_custkey").cast("string").alias("custkey_str"),
+        # TIMESTAMP_WITH_TIMEZONE normalization exercised with a
+        # non-UTC offset (+05:30): the instant (unix seconds) must
+        # agree across engines regardless of session rendering
+        F.unix_timestamp(
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.lit(" 10:00:00+05:30"),
+            ).cast("timestamp")
+        ).alias("tz_epoch"),
     )
 
 
@@ -323,7 +335,8 @@ SELECT o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS od,
   CAST(year(o_orderdate) AS INTEGER) AS yr,
   CAST(month(o_orderdate) AS INTEGER) AS mo,
-  CAST(o_custkey AS VARCHAR) AS custkey_str
+  CAST(o_custkey AS VARCHAR) AS custkey_str,
+  CAST(epoch(CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 10:00:00+05:30' AS TIMESTAMPTZ)) AS BIGINT) AS tz_epoch
 FROM orders
 """
 

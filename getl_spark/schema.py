@@ -53,6 +53,16 @@ _SIMPLE = {
     "datetime": TimestampType(),
     "binary": BinaryType(),
     "blob": BinaryType(),
+    # getl Field.TIMESTAMP_WITH_TIMEZONE (data/Field.groovy:41-44,
+    # proto schema jdbc/JDBCDriverProto.groovy:66-86): Spark has no
+    # offset-carrying type — TimestampType is instant semantics,
+    # normalized to the session zone (this engine pins sessions to
+    # UTC, session.py). Documented normalization: the INSTANT is
+    # preserved exactly; the original wall-clock offset round-trips
+    # via functions.temporal.tz_parse/tz_format, which carry it in a
+    # companion int column.
+    "timestamp_with_timezone": TimestampType(),
+    "timestamptz": TimestampType(),
     # getl Field.TIME (data/Field.groovy:41-44): Spark has no TIME type;
     # times map to 'HH:mm:ss[.SSS]' strings (documented decision — the
     # lexical form sorts correctly and round-trips losslessly).

@@ -34,22 +34,30 @@ class SQLScriptError(RuntimeError):
     """Raised by the ERROR statement or a malformed script."""
 
 
+def _scan_quoted(s: str, i: int) -> int:
+    """Index of the closing quote for the span opening at ``s[i]``
+    (one of ``'``, ``"``, backtick), honoring doubled-quote escapes."""
+    q, j, n = s[i], i + 1, len(s)
+    while j < n:
+        if s[j] == q:
+            if j + 1 < n and s[j + 1] == q:
+                j += 2
+                continue
+            break
+        j += 1
+    return j
+
+
 def split_statements(script: str) -> list[str]:
-    """Split on ``;`` respecting single-quoted strings, ``--`` line
-    comments and ``/* */`` block comments."""
+    """Split on ``;`` respecting quoted spans (single/double quotes,
+    backtick identifiers), ``--`` line comments and ``/* */`` block
+    comments."""
     out, buf = [], []
     i, n = 0, len(script)
     while i < n:
         c = script[i]
-        if c == "'":
-            j = i + 1
-            while j < n:
-                if script[j] == "'":
-                    if j + 1 < n and script[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
+        if c in "'\"`":
+            j = _scan_quoted(script, i)
             buf.append(script[i : j + 1])
             i = j + 1
         elif script.startswith("--", i):
@@ -76,22 +84,16 @@ def split_statements(script: str) -> list[str]:
 
 
 def _strip_comments(sql: str) -> str:
-    """Remove ``--`` and ``/* */`` comments OUTSIDE single-quoted
-    strings (a literal like ``'a--b'`` must survive); ``/*:label*/``
-    capture markers are preserved."""
+    """Remove ``--`` and ``/* */`` comments OUTSIDE quoted spans
+    (single/double quotes and backtick identifiers — a literal like
+    ``'a--b'`` or an identifier like ``\\`a--b\\`` must survive);
+    ``/*:label*/`` capture markers are preserved."""
     out = []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
+        if c in "'\"`":
+            j = _scan_quoted(sql, i)
             out.append(sql[i : j + 1])
             i = j + 1
         elif sql.startswith("--", i):

@@ -29,6 +29,69 @@ from pyspark.sql.types import StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+def _formatted_parse_expr(raw, field, spec):
+    """JVM-side per-field cell parser (getl's SuperCSV CellProcessor
+    chain, csv/CSVDriver.groovy:189-331, as Catalyst expressions).
+
+    ``spec`` is a format string (date/timestamp pattern, or
+    ``'true_tok|false_tok'`` for booleans) or a dict with optional
+    ``format`` / ``decimal_separator`` keys. All conversions use
+    try_* forms so a malformed cell yields NULL (then surfaces through
+    the corrupt-row accounting) instead of an ANSI-mode throw."""
+    if isinstance(spec, str):
+        spec = {"format": spec}
+    fmt = spec.get("format")
+    dec_sep = spec.get("decimal_separator")
+    t = field.dataType.typeName()
+    if t == "date":
+        # no try_to_date builtin: parse as timestamp (try form), then the
+        # timestamp->date cast is parse-free and safe under ANSI
+        return F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd")).cast("date")
+    if t == "timestamp":
+        return F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd HH:mm:ss"))
+    if t == "boolean":
+        tok_t, tok_f = (fmt or "1|0").split("|", 1)
+        return (
+            F.when(F.lower(raw) == tok_t.lower(), F.lit(True))
+            .when(F.lower(raw) == tok_f.lower(), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    if t in ("decimal", "double", "float", "integer", "long", "short", "byte"):
+        v = raw
+        if dec_sep and dec_sep != ".":
+            # '1.234,56' style: strip grouping dots, then ',' -> '.'
+            v = F.translate(v, ".", "")
+            v = F.regexp_replace(v, re.escape(dec_sep), ".")
+        return v.try_cast(field.dataType)
+    raise ValueError(
+        f"field_formats: unsupported target type {field.dataType.simpleString()} "
+        f"for field '{field.name}'"
+    )
+
+
+def _formatted_write_expr(col, field, spec):
+    """Write-side formatter (getl FmtDate/FmtNumber/FmtBool)."""
+    if isinstance(spec, str):
+        spec = {"format": spec}
+    fmt = spec.get("format")
+    dec_sep = spec.get("decimal_separator")
+    t = field.dataType.typeName()
+    if t in ("date", "timestamp"):
+        return F.date_format(col, fmt or ("yyyy-MM-dd" if t == "date" else "yyyy-MM-dd HH:mm:ss"))
+    if t == "boolean":
+        tok_t, tok_f = (fmt or "1|0").split("|", 1)
+        return F.when(col, F.lit(tok_t)).when(~col, F.lit(tok_f))
+    if t in ("decimal", "double", "float", "integer", "long", "short", "byte"):
+        s = col.cast("string")
+        if dec_sep and dec_sep != ".":
+            s = F.regexp_replace(s, r"\.", re.escape(dec_sep))
+        return s
+    raise ValueError(
+        f"field_formats: unsupported source type {field.dataType.simpleString()} "
+        f"for field '{field.name}'"
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -42,6 +105,7 @@ def read_csv(
     timestamp_format: str | None = None,
     keep_corrupt_rows: bool = False,
     validate_rows: bool = True,
+    field_formats: dict | None = None,
 ) -> DataFrame:
     """getl CSVDataset.eachRow. PERMISSIVE mode: malformed rows land in
     ``_corrupt_record`` (the errors-dataset pattern) instead of failing
@@ -73,15 +137,63 @@ def read_csv(
         r = r.option("dateFormat", date_format)
     if timestamp_format:
         r = r.option("timestampFormat", timestamp_format)
+    fmt_fields = dict(field_formats or {})
+    if fmt_fields and schema is None:
+        raise ValueError("field_formats requires an explicit schema")
     if schema is not None:
+        scan_schema = schema
+        if fmt_fields:
+            unknown = sorted(set(fmt_fields) - set(schema.fieldNames()))
+            if unknown:
+                raise ValueError(f"field_formats names unknown fields: {unknown}")
+            # mixed-format cells can't push into the scan (Spark's CSV
+            # options are global) — scan them as STRING, then convert
+            # with per-field Catalyst exprs (all JVM-side, codegen'd)
+            from pyspark.sql.types import StringType, StructField
+
+            scan_schema = StructType(
+                [
+                    StructField(f.name, StringType(), True) if f.name in fmt_fields else f
+                    for f in schema.fields
+                ]
+            )
+
+        def convert(df, corrupt_aware: bool):
+            parsed = {
+                name: _formatted_parse_expr(F.col(name), schema[name], spec)
+                for name, spec in fmt_fields.items()
+            }
+            if corrupt_aware:
+                # a cell that fails its per-field parse (raw non-null,
+                # parsed null) marks the row corrupt, same accounting
+                # as a scan-level malformed row
+                fail = None
+                for name in fmt_fields:
+                    c = F.col(name).isNotNull() & parsed[name].isNull()
+                    fail = c if fail is None else (fail | c)
+                raw_record = F.concat_ws(
+                    field_delimiter,
+                    *[F.coalesce(F.col(f.name).cast("string"), F.lit("")) for f in scan_schema.fields],
+                )
+                df = df.withColumn(
+                    CORRUPT_COL, F.coalesce(F.col(CORRUPT_COL), F.when(fail, raw_record))
+                )
+            out = [parsed[f.name].alias(f.name) if f.name in parsed else F.col(f.name) for f in schema.fields]
+            if corrupt_aware:
+                out.append(F.col(CORRUPT_COL))
+            return df.select(*out)
+
         if not validate_rows:
-            return r.schema(schema).csv(path)  # cache-free bulk path
+            df = r.schema(scan_schema).csv(path)  # cache-free bulk path
+            return convert(df, corrupt_aware=False) if fmt_fields else df
         # the corrupt-record column must be IN the schema for
         # PERMISSIVE mode to populate it; add it internally
-        aug = schema
-        if CORRUPT_COL not in schema.fieldNames():
-            aug = StructType(list(schema.fields)).add(CORRUPT_COL, "string")
+        aug = scan_schema
+        if CORRUPT_COL not in scan_schema.fieldNames():
+            aug = StructType(list(scan_schema.fields)).add(CORRUPT_COL, "string")
         df = r.schema(aug).csv(path).cache()
+        if fmt_fields:
+            df = convert(df, corrupt_aware=True)
         if not keep_corrupt_rows:
             df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         return df
@@ -96,9 +208,25 @@ def write_csv(
     is_gz_file: bool = False,
     split_size: int | None = None,
     mode: str = "overwrite",
+    field_formats: dict | None = None,
 ) -> None:
     """getl CSV write incl. isSplit/splitSize portions (split ->
-    maxRecordsPerFile) and isGzFile (-> gzip codec)."""
+    maxRecordsPerFile), isGzFile (-> gzip codec), and per-field output
+    formats (FmtDate/FmtNumber/FmtBool cell processors,
+    csv/CSVDriver.groovy:189-331 -> date_format/when exprs)."""
+    if field_formats:
+        sch = {f.name: f for f in df.schema.fields}
+        unknown = sorted(set(field_formats) - set(sch))
+        if unknown:
+            raise ValueError(f"field_formats names unknown fields: {unknown}")
+        df = df.select(
+            *[
+                _formatted_write_expr(F.col(c), sch[c], field_formats[c]).alias(c)
+                if c in field_formats
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     w = df.write.option("header", header).option("sep", field_delimiter).mode(mode)
     if is_gz_file:
         w = w.option("compression", "gzip")

@@ -93,6 +93,87 @@ def test_csv_roundtrip_with_corrupt_rows(spark, tmp_path):
     assert len(glob.glob(outdir + "/*.csv")) >= 2  # splitSize=1 -> file per row
 
 
+def test_csv_per_field_formats_read(spark, tmp_path):
+    """getl cell processors (CSVDriver.groovy:189-331): two date columns
+    in different formats + a comma-decimal column + a custom boolean,
+    each parsed per-field (global dateFormat can't express this)."""
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("id;d1;d2;amount;flag\n")
+        f.write("1;02/01/2020;2020-01-03;1.234,56;Y\n")
+        f.write("2;15/07/2021;2021-08-09;99,5;N\n")
+    schema = parse_ddl("id int, d1 date, d2 date, amount decimal(10,2), flag boolean")
+    df = read_csv(
+        spark, p, schema=schema, field_delimiter=";",
+        field_formats={
+            "d1": "dd/MM/yyyy",
+            "d2": "yyyy-MM-dd",
+            "amount": {"decimal_separator": ","},
+            "flag": "Y|N",
+        },
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert str(rows[1].d1) == "2020-01-02" and str(rows[1].d2) == "2020-01-03"
+    assert str(rows[2].d1) == "2021-07-15"
+    assert float(rows[1].amount) == 1234.56 and float(rows[2].amount) == 99.5
+    assert rows[1].flag is True and rows[2].flag is False
+    assert df.dtypes == [
+        ("id", "int"), ("d1", "date"), ("d2", "date"),
+        ("amount", "decimal(10,2)"), ("flag", "boolean"),
+    ]
+
+
+def test_csv_per_field_format_parse_failure_is_corrupt(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("id;d1\n1;02/01/2020\n2;2020-13-45\n")
+    schema = parse_ddl("id int, d1 date")
+    fmts = {"d1": "dd/MM/yyyy"}
+    ok = read_csv(spark, p, schema=schema, field_delimiter=";", field_formats=fmts)
+    assert [r.id for r in ok.collect()] == [1]
+    kept = read_csv(
+        spark, p, schema=schema, field_delimiter=";", field_formats=fmts,
+        keep_corrupt_rows=True,
+    )
+    bad = kept.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0].id == 2
+    with pytest.raises(ValueError, match="unknown fields"):
+        read_csv(spark, p, schema=schema, field_formats={"nope": "x"})
+    with pytest.raises(ValueError, match="requires an explicit schema"):
+        read_csv(spark, p, field_formats=fmts)
+
+
+def test_csv_per_field_formats_roundtrip(spark, tmp_path):
+    """Write with per-field output formats, read back with the matching
+    parse formats — values survive bit-identically."""
+    schema = parse_ddl("id int, d1 date, d2 date, amount decimal(10,2), flag boolean")
+    src = spark.createDataFrame(
+        [
+            (1, "2020-01-02", "2020-01-03", "1234.56", True),
+            (2, "2021-07-15", "2021-08-09", "99.50", False),
+        ],
+        "id int, d1 string, d2 string, amount string, flag boolean",
+    ).select(
+        "id",
+        F.to_date("d1").alias("d1"),
+        F.to_date("d2").alias("d2"),
+        F.col("amount").cast("decimal(10,2)").alias("amount"),
+        "flag",
+    )
+    fmts = {
+        "d1": "dd/MM/yyyy",
+        "d2": "MM-dd-yyyy",
+        "amount": {"decimal_separator": ","},
+        "flag": "yes|no",
+    }
+    outdir = str(tmp_path / "out")
+    write_csv(src, outdir, field_delimiter=";", field_formats=fmts)
+    back = read_csv(spark, outdir, schema=schema, field_delimiter=";", field_formats=fmts)
+    a = sorted([tuple(map(str, r)) for r in src.collect()])
+    b = sorted([tuple(map(str, r)) for r in back.collect()])
+    assert a == b
+
+
 def test_json_rootnode_alias(spark, tmp_path):
     p = str(tmp_path / "in.json")
     doc = {"meta": {"v": 1}, "data": {"rows": [{"a": 1, "b": {"c": "x"}}, {"a": 2, "b": {"c": "y"}}]}}

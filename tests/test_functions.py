@@ -443,3 +443,72 @@ def test_winnow_property_random_corpora(spark):
         assert got == _ref_winnow_from_raw(raw, w)
 
     check()
+
+
+def test_tz_parse_instant_and_offset(spark):
+    """TIMESTAMP_WITH_TIMEZONE normalization (JDBCDriverProto.groovy
+    :66-86): the instant is UTC-exact, the original offset survives."""
+    from getl_spark.functions import temporal
+
+    df = spark.createDataFrame(
+        [
+            ("2020-01-02 10:00:00+05:30",),
+            ("2020-01-02 10:00:00-08:00",),
+            ("2020-01-02 10:00:00Z",),
+            ("2020-01-02 10:00:00+07",),
+            ("2020-01-02 10:00:00",),  # no designator: session (UTC)
+            ("not a timestamp",),
+        ],
+        "s string",
+    )
+    out = df.select(temporal.tz_parse("s").alias("p")).select("p.*").collect()
+    # session is pinned UTC, so str(instant) is the UTC wall clock
+    assert str(out[0].instant) == "2020-01-02 04:30:00" and out[0].tz_offset_min == 330
+    assert str(out[1].instant) == "2020-01-02 18:00:00" and out[1].tz_offset_min == -480
+    assert str(out[2].instant) == "2020-01-02 10:00:00" and out[2].tz_offset_min == 0
+    assert str(out[3].instant) == "2020-01-02 03:00:00" and out[3].tz_offset_min == 420
+    assert str(out[4].instant) == "2020-01-02 10:00:00" and out[4].tz_offset_min is None
+    assert out[5].instant is None
+
+
+def test_tz_roundtrip_through_lake_table(spark, tmp_path):
+    """Proto-style round-trip (JDBCDriverProto.groovy:180-230): write a
+    table with a dtwithtz column, read it back in a second table scan,
+    and reproduce every source literal byte-for-byte."""
+    from getl_spark.functions import temporal
+    from getl_spark.lake import LakeCatalog, PartitionSpec
+    from getl_spark.schema import parse_ddl, parse_type
+
+    # the proto schema's dtwithtz maps to timestamp (+ offset column)
+    assert parse_type("timestamp_with_timezone").simpleString() == "timestamp"
+
+    lits = [
+        "2021-03-14 01:59:26+05:30",
+        "2021-03-14 01:59:26-11:00",
+        "2021-12-31 23:59:59+00:00",
+        "2021-06-01 12:00:00+09:00",
+    ]
+    src = spark.createDataFrame([(i, s) for i, s in enumerate(lits)], "id1 int, raw string")
+    parsed = src.select(
+        "id1", "raw", temporal.tz_parse("raw").alias("p")
+    ).select("id1", "raw", "p.instant", "p.tz_offset_min")
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "proto_tz",
+        parse_ddl("id1 int, raw string, instant timestamp_with_timezone, tz_offset_min int"),
+        PartitionSpec.none(),
+    )
+    t.append(parsed)
+    back = t.read(spark).select(
+        "id1", "raw", temporal.tz_format("instant", "tz_offset_min").alias("rt")
+    )
+    rows = {r.id1: r for r in back.collect()}
+    assert len(rows) == len(lits)
+    for i, s in enumerate(lits):
+        assert rows[i].rt == s, f"offset round-trip broke: {rows[i].rt} != {s}"
+    # and the stored instants agree across offsets that denote the same moment
+    same = spark.createDataFrame(
+        [("2021-01-01 09:00:00+09:00",), ("2021-01-01 00:00:00Z",)], "s string"
+    ).select(temporal.tz_parse("s").instant.alias("i")).distinct()
+    assert same.count() == 1

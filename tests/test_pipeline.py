@@ -363,6 +363,87 @@ def test_replayed_widen_is_schema_noop(spark, tmp_warehouse, event_df):
     assert len(pipe2.target.meta["evolution_log"]) == n_log
 
 
+def test_schema_policy_merge_implicit_add(spark, tmp_warehouse, event_df, oracle_final):
+    """getl updateFields MERGE analog: a new column appears in the log
+    mid-stream (no explicit DDL event) and lands in the target; the
+    content invariant still holds on full replay."""
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, schema_policy="merge")
+    pipe.apply_epoch(event_df.filter("seq <= 1000"), 0)
+    assert "stars" not in pipe.target.schema().fieldNames()
+    with_stars = event_df.withColumn("stars", (F.col("seq") % 5).cast("int"))
+    pipe.apply_epoch(with_stars.filter("seq > 1000 AND seq <= 2000"), 1)
+    assert "stars" in pipe.target.schema().fieldNames()
+    for e in (2, 3):
+        pipe.apply_epoch(
+            with_stars.filter(f"seq > {e * 1000} AND seq <= {(e + 1) * 1000}"), e
+        )
+    state = pipe.state()
+    # rows last written in epoch 0 predate the column -> NULL; later ones carry it
+    pdf = state.toPandas()
+    assert pdf.loc[pdf["_seq"] <= 1000, "stars"].isna().all()
+    assert (pdf.loc[pdf["_seq"] > 1000, "stars"] == pdf.loc[pdf["_seq"] > 1000, "_seq"] % 5).all()
+    assert_final_state_matches(state.drop("_epoch", "stars").toPandas(), oracle_final)
+
+
+def test_schema_policy_merge_widen_and_narrow(spark, tmp_warehouse, event_df):
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, schema_policy="merge")
+    with_stars = event_df.withColumn("stars", (F.col("seq") % 5).cast("int"))
+    pipe.apply_epoch(with_stars.filter("seq <= 1000"), 0)
+    assert dict(pipe.state().dtypes)["stars"] == "int"
+    # incoming bigint -> implicit widen
+    wide = event_df.withColumn("stars", (F.col("seq") % 5).cast("bigint"))
+    pipe.apply_epoch(wide.filter("seq > 1000 AND seq <= 2000"), 1)
+    assert dict(pipe.state().dtypes)["stars"] == "bigint"
+    sid = pipe.target.current_schema_id
+    # incoming int again (narrower): no-op, casts cleanly on apply
+    pipe.apply_epoch(with_stars.filter("seq > 2000 AND seq <= 3000"), 2)
+    assert pipe.target.current_schema_id == sid
+    assert dict(pipe.state().dtypes)["stars"] == "bigint"
+    # incompatible implicit change refuses loudly
+    bad = event_df.withColumn("stars", F.lit(True))
+    with pytest.raises(ValueError, match="incompatible"):
+        pipe.apply_epoch(bad.filter("seq > 3000"), 3)
+
+
+def test_schema_policy_merge_exists_drops_missing(spark, tmp_warehouse, event_df, oracle_final):
+    """MERGE_EXISTS: target columns absent from the incoming frame are
+    dropped (keys and engine-internal columns protected)."""
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, schema_policy="merge_exists")
+    pipe.apply_epoch(event_df.filter("seq <= 2000"), 0)
+    assert "lang" in pipe.target.schema().fieldNames()
+    no_lang = event_df.drop("lang")
+    pipe.apply_epoch(no_lang.filter("seq > 2000 AND seq <= 4000"), 1)
+    cols = pipe.target.schema().fieldNames()
+    assert "lang" not in cols
+    for k in ("repo", "path", "_seq", "_deleted"):
+        assert k in cols
+    pdf = pipe.state().drop("_epoch").toPandas()
+    assert_final_state_matches(
+        pdf.assign(lang=""), oracle_final.assign(lang="")
+    )
+
+
+def test_schema_policy_respects_rename_history(spark, tmp_warehouse, event_df):
+    """A source still emitting the pre-rename name must not re-add the
+    renamed column under its old name."""
+    changes = [
+        {"seq": 500, "change": "rename_column", "column_name": "lang", "new_name": "language"}
+    ]
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, schema_policy="merge")
+    pipe.apply_epoch(event_df.filter("seq <= 2000"), 0, schema_changes=changes)
+    cols = pipe.target.schema().fieldNames()
+    assert "language" in cols and "lang" not in cols
+    # next epoch still sends "lang": mapped through the rename, not re-added
+    pipe.apply_epoch(event_df.filter("seq > 2000"), 1)
+    cols = pipe.target.schema().fieldNames()
+    assert "language" in cols and "lang" not in cols
+
+
+def test_schema_policy_rejects_bad_value(spark, tmp_warehouse):
+    with pytest.raises(ValueError, match="schema_policy"):
+        CDCPipeline(spark, tmp_warehouse, schema_policy="replace")
+
+
 def test_mor_concurrent_same_name_writers_no_double_append(spark, tmp_warehouse, event_df):
     """Two same-name MOR tailers racing on one epoch: the loser's
     append must skip via the commit precondition, not rebase a
