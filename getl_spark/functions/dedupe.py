@@ -435,6 +435,57 @@ def near_dedup_minhash(
     return df.join(dups, id_col, "left_anti")
 
 
+def near_dedup_winnow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.3,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
+    transitive: bool = True,
+) -> DataFrame:
+    """Full near-dedup on the MOSS sketch (the winnowing analog of
+    :func:`near_dedup_minhash`): winnowed-fingerprint candidates ->
+    exact n-gram Jaccard verify -> connected-components clustering ->
+    keep one representative (min id) per cluster.
+
+    Use this over the MinHash path when duplication is LOCAL — shared
+    boilerplate spans (license headers, generated preambles, copied
+    functions) inside otherwise-different documents. Winnowing
+    guarantees any shared substring of length >= w+k-1 produces a
+    shared fingerprint, so such clusters are found even when global
+    Jaccard is far below an LSH band-collision probability; the verify
+    ``threshold`` is correspondingly lower by default (0.3 vs 0.7) —
+    candidates are already span-evidenced, the verify only discards
+    incidental k-gram collisions.
+
+    Plan shape matches the 100-TB-safe LSH path exactly: sketch build
+    (one window shuffle), capped equi-join on fingerprint hash (never
+    all-pairs), verify on candidates only, CC over verified edges.
+    ``transitive=True`` by default: boilerplate chains a~b~c with
+    a!~c are the COMMON case here, so closure is the right default
+    (pairwise drop would be order-dependent).
+    """
+    pairs = winnow_candidate_pairs(
+        df, text_col, id_col, k=k, w=w, min_shared=min_shared,
+        hash_fn=hash_fn, max_bucket=max_bucket,
+    )
+    verified = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
+    if transitive:
+        comp = connected_components(verified)
+        dups = (
+            comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+            .distinct()
+        )
+    else:
+        dups = verified.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(dups, id_col, "left_anti")
+
+
 # -------------------------------------------------------------- simhash
 
 

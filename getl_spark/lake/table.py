@@ -712,22 +712,39 @@ class LakeTable:
             cols = columns or cur_fields
             return pd.DataFrame({c: [] for c in cols})
         want = columns or cur_fields
+        # rename history: a legacy file's old column name reads as the
+        # current name (add/rename are the only evolutions bookkeeping
+        # tables perform; width never changes there)
+        renames: dict[str, str] = {}
+        for e in self.meta.get("evolution_log", []):
+            if e["op"] == "rename":
+                renames[e["column"]] = e["new_name"]
+
+        def final_name(n: str) -> str:
+            seen: set = set()
+            while n in renames and n not in seen:
+                seen.add(n)
+                n = renames[n]
+            return n
+
         parts = []
         for f in files:
             pf = pq.ParquetFile(os.path.join(self.location, f["path"]))
-            file_cols = pf.schema_arrow.names
-            extra = [c for c in file_cols if c not in cur_fields]
+            file_cols = {c: final_name(c) for c in pf.schema_arrow.names}
+            extra = [c for c, cur in file_cols.items() if cur not in cur_fields]
             if extra:
-                # renamed/dropped columns need the Spark reader's full
-                # upgrade path; bookkeeping tables only ever add
+                # dropped columns need the Spark reader's full upgrade
+                # path; bookkeeping tables only ever add/rename
                 raise ValueError(
-                    "read_pandas supports add-only schema evolution; "
+                    "read_pandas supports add/rename-only schema evolution; "
                     f"file {f['path']} has non-current columns {extra}"
                 )
             # project at the parquet reader — this is a per-epoch hot
             # path (checkpoint/lineage reads), don't materialize columns
             # the caller didn't ask for
-            pdf = pf.read(columns=[c for c in want if c in file_cols]).to_pandas()
+            read_cols = [c for c, cur in file_cols.items() if cur in want]
+            pdf = pf.read(columns=read_cols).to_pandas()
+            pdf.columns = [file_cols[c] for c in pdf.columns]
             for c in want:  # file predates an add_column: typed null
                 if c not in pdf.columns:
                     pdf[c] = None

@@ -31,7 +31,7 @@ from getl_spark.schema import parse_ddl
 
 LINEAGE_SCHEMA = parse_ddl(
     "epoch bigint, partition_id int, seq_min bigint, seq_max bigint, "
-    "event_count bigint, bytes bigint, apply_latency_ms bigint, "
+    "event_count bigint, bytes bigint, epoch_latency_ms bigint, "
     "pipeline string"
 )
 
@@ -59,6 +59,13 @@ class LineageRecorder:
                 self.table.overwrite_pandas(
                     existing, {"backfill": "pipeline<-tail (legacy rows)"}
                 )
+        # pre-round-4 tables called this column apply_latency_ms, but
+        # the value has always been the WHOLE-EPOCH apply latency
+        # (copied onto every bucket row) — renamed so the name claims
+        # exactly what's measured; legacy files read through the
+        # rename-aware upgrade path
+        if "apply_latency_ms" in self.table.schema().fieldNames():
+            self.table.rename_column("apply_latency_ms", "epoch_latency_ms")
 
     def compute(self, events: DataFrame, epoch: int, bucket_expr, latency_ms: int, pipeline: str = "tail") -> pd.DataFrame:
         """One distributed agg -> <= num_buckets collected rows."""
@@ -81,7 +88,7 @@ class LineageRecorder:
                     "seq_max": int(r["seq_max"]),
                     "event_count": int(r["event_count"]),
                     "bytes": int(r["bytes"]),
-                    "apply_latency_ms": int(latency_ms),
+                    "epoch_latency_ms": int(latency_ms),
                     "pipeline": pipeline,
                 }
                 for r in rows

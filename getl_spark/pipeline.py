@@ -209,7 +209,7 @@ class CDCPipeline:
                         "seq_max": int(r["seq_max"]),
                         "event_count": int(r["event_count"]),
                         "bytes": int(r["bytes"]),
-                        "apply_latency_ms": 0,
+                        "epoch_latency_ms": 0,
                         "pipeline": self.name,
                     }
                     for r in lin_rows
@@ -297,7 +297,7 @@ class CDCPipeline:
             latency_ms = int((time.monotonic() - t0) * 1000)
 
             if len(lin):
-                lin["apply_latency_ms"] = int(latency_ms)
+                lin["epoch_latency_ms"] = int(latency_ms)
                 self.lineage.write(lin, epoch, pipeline=self.name)
             n_events = int(lin["event_count"].sum()) if len(lin) else 0
             max_seq = int(lin["seq_max"].max()) if len(lin) else None
@@ -604,15 +604,15 @@ class CDCPipeline:
             .agg(
                 F.sum("event_count").alias("events"),
                 F.sum("bytes").alias("bytes"),
-                F.max("apply_latency_ms").alias("apply_latency_ms"),
+                F.max("epoch_latency_ms").alias("epoch_latency_ms"),
                 F.min("seq_min").alias("seq_min"),
                 F.max("seq_max").alias("seq_max"),
             )
             .withColumn(
                 "events_per_sec",
                 F.when(
-                    F.col("apply_latency_ms") > 0,
-                    F.col("events") / (F.col("apply_latency_ms") / 1000.0),
+                    F.col("epoch_latency_ms") > 0,
+                    F.col("events") / (F.col("epoch_latency_ms") / 1000.0),
                 ).otherwise(F.lit(None).cast("double")),
             )
             .orderBy("epoch")

@@ -806,6 +806,86 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_near_dedup_winnow(spark, sf_dir):
+    """MOSS-sketch near-dedup (winnow candidates -> Jaccard verify ->
+    connected components): catches shared-boilerplate-SPAN clusters
+    whose global Jaccard is too low for the MinHash path. Same capped,
+    never-all-pairs plan shape; sha mode for the oracle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedupe.near_dedup_winnow(
+        d, k=8, w=4, min_shared=3, threshold=0.3, hash_fn="sha60",
+        max_bucket=50, transitive=True,
+    ).select("doc_id", "lang", "source")
+
+
+SQL_NEAR_DEDUP_WINNOW = r"""
+WITH RECURSIVE hashed AS (
+  SELECT doc_id, m, i AS pos,
+         substr(sha256(substr(norm, i, 8)), 1, 15) AS h
+  FROM (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+           greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 7, 1) AS m
+    FROM documents WHERE doc_id < 200
+  ), unnest(generate_series(1, m)) AS t(i)
+),
+sel AS (
+  SELECT doc_id, m, pos,
+         min(h || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS key
+  FROM hashed
+),
+fp AS (
+  SELECT DISTINCT doc_id, substr(key, 1, 15) AS h
+  FROM sel
+  WHERE pos >= 4 OR (m < 4 AND pos = m)
+),
+capped AS (
+  SELECT doc_id, h FROM fp
+  QUALIFY count(*) OVER (PARTITION BY h) <= 50
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+toks AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+') AS w
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles FROM toks
+),
+verified AS (
+  SELECT p.a_id, p.b_id FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a_id
+  JOIN sh sb ON sb.doc_id = p.b_id
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.3
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM verified
+  UNION
+  SELECT b_id, a_id FROM verified
+),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comp AS (
+  SELECT node, least(node, MIN(r)) AS component FROM reach GROUP BY node
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id < 200
+  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedupe.exact_duplicates(d).select("fingerprint", "keep_id", "n")
@@ -1194,6 +1274,7 @@ def all_queries():
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup": q_near_dedup,
         "near_dedup_cc": q_near_dedup_cc,
+        "near_dedup_winnow": q_near_dedup_winnow,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_near_dups": q_emb_near_dups,
@@ -1237,6 +1318,7 @@ def all_oracles():
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "near_dedup": SQL_NEAR_DEDUP,
         "near_dedup_cc": SQL_NEAR_DEDUP_CC,
+        "near_dedup_winnow": SQL_NEAR_DEDUP_WINNOW,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "emb_near_dups": SQL_EMB_NEAR_DUPS,

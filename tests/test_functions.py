@@ -512,3 +512,49 @@ def test_tz_roundtrip_through_lake_table(spark, tmp_path):
         [("2021-01-01 09:00:00+09:00",), ("2021-01-01 00:00:00Z",)], "s string"
     ).select(temporal.tz_parse("s").instant.alias("i")).distinct()
     assert same.count() == 1
+
+
+def test_near_dedup_winnow_catches_boilerplate_cluster_minhash_misses(spark):
+    """Seeded corpus: three long, mutually-unrelated docs share one
+    verbatim boilerplate span (license header). Global Jaccard is tiny,
+    so the MinHash path keeps all three; the winnow path (guaranteed
+    fingerprint for any shared span >= w+k-1 chars) clusters them and
+    keeps the min-id representative. Unique docs survive both."""
+    import random
+
+    rng = random.Random(42)
+
+    def prose(n):
+        words = ["alpha", "bravo", "cactus", "delta", "ember", "flint",
+                 "gamma", "harbor", "indigo", "jolt", "karma", "lunar"]
+        return " ".join(rng.choice(words) + str(rng.randint(0, 999)) for _ in range(n))
+
+    boiler = ("copyright acme corporation all rights reserved "
+              "redistribution and use in source and binary forms permitted")
+    # 40 prose words + the 14-word span: global Jaccard ~= 0.13 — far
+    # below any LSH band-collision probability (P ~ 0.3% at 8x4 bands)
+    # but well above the span-evidenced verify threshold
+    docs = [
+        (0, boiler + " " + prose(40)),
+        (1, prose(20) + " " + boiler + " " + prose(20)),
+        (2, prose(40) + " " + boiler),
+        (3, prose(40)),
+        (4, prose(40)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    kept_winnow = sorted(
+        r.doc_id
+        for r in dedupe.near_dedup_winnow(
+            df, k=8, w=4, min_shared=3, threshold=0.1, transitive=True
+        ).collect()
+    )
+    assert kept_winnow == [0, 3, 4], kept_winnow  # cluster {0,1,2} -> keep 0
+
+    kept_minhash = sorted(
+        r.doc_id
+        for r in dedupe.near_dedup_minhash(
+            df, num_hashes=32, bands=8, threshold=0.7
+        ).collect()
+    )
+    assert kept_minhash == [0, 1, 2, 3, 4], kept_minhash  # global Jaccard too low

@@ -85,7 +85,7 @@ def test_lineage_rows(spark, tmp_warehouse, event_df):
         assert sub["seq_min"].min() > e * EPOCH
         assert sub["seq_max"].max() <= (e + 1) * EPOCH
     assert (pdf["bytes"] > 0).any()
-    assert (pdf["apply_latency_ms"] >= 0).all()
+    assert (pdf["epoch_latency_ms"] >= 0).all()
 
 
 def test_checkpoint_history_and_monotonic_guard(spark, tmp_warehouse, event_df):
@@ -361,6 +361,62 @@ def test_replayed_widen_is_schema_noop(spark, tmp_warehouse, event_df):
     pipe2.replay(event_df, EPOCH, schema_changes=changes)
     assert pipe2.target.current_schema_id == sid
     assert len(pipe2.target.meta["evolution_log"]) == n_log
+
+
+def test_lineage_epoch_latency_semantics(spark, tmp_warehouse, event_df):
+    """The column is named epoch_latency_ms because it records the
+    WHOLE-EPOCH apply latency stamped onto each of the epoch's bucket
+    rows — assert exactly that: identical within an epoch and equal to
+    the EpochResult's measured latency."""
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8)
+    results = pipe.replay(event_df, EPOCH)
+    pdf = pipe.lineage.read_pandas()
+    by_epoch = {r.epoch: r.latency_ms for r in results}
+    for e, grp in pdf.groupby("epoch"):
+        assert grp["epoch_latency_ms"].nunique() == 1
+        assert int(grp["epoch_latency_ms"].iloc[0]) == by_epoch[int(e)]
+
+
+def test_lineage_legacy_table_upgrades_in_place(spark, tmp_warehouse):
+    """A pre-upgrade lineage table (no pipeline column, old
+    apply_latency_ms name) upgrades on first touch: NULL pipelines
+    backfill to 'tail', the latency column renames, and legacy rows
+    read back intact through the rename-aware pandas path."""
+    import pandas as pd
+
+    from getl_spark.lake import LakeCatalog, PartitionSpec
+    from getl_spark.lineage import LineageRecorder
+    from getl_spark.schema import parse_ddl
+
+    cat = LakeCatalog(tmp_warehouse)
+    legacy = cat.create_table(
+        "_lineage",
+        parse_ddl(
+            "epoch bigint, partition_id int, seq_min bigint, seq_max bigint, "
+            "event_count bigint, bytes bigint, apply_latency_ms bigint"
+        ),
+        PartitionSpec.none(),
+    )
+    legacy.append_pandas(
+        pd.DataFrame(
+            [
+                {"epoch": 0, "partition_id": 1, "seq_min": 1, "seq_max": 10,
+                 "event_count": 10, "bytes": 100, "apply_latency_ms": 42},
+            ]
+        ),
+        {"epoch": 0},
+    )
+    rec = LineageRecorder(cat)
+    cols = rec.table.schema().fieldNames()
+    assert "epoch_latency_ms" in cols and "apply_latency_ms" not in cols
+    pdf = rec.read_pandas()
+    assert len(pdf) == 1
+    assert int(pdf["epoch_latency_ms"].iloc[0]) == 42
+    assert pdf["pipeline"].iloc[0] == "tail"  # backfilled, not NULL
+    # a second recorder over the already-upgraded table is a no-op
+    sid = rec.table.current_schema_id
+    rec2 = LineageRecorder(cat)
+    assert rec2.table.current_schema_id == sid
 
 
 def test_schema_policy_merge_implicit_add(spark, tmp_warehouse, event_df, oracle_final):
