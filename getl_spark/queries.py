@@ -65,8 +65,8 @@ def q_tpch_q1(spark, sf_dir):
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         _dbl(sum_qty).alias("sum_qty"),
         _dbl(sum_base).alias("sum_base_price"),
-        _dbl(F.sum(_dec(disc_price, 18, 6))).alias("sum_disc_price"),
-        _dbl(F.sum(_dec(charge, 18, 6))).alias("sum_charge"),
+        (_dbl(F.sum(F.floor(disc_price * 1e6).cast("decimal(38,0)"))) / 1e6).alias("sum_disc_price"),
+        (_dbl(F.sum(F.floor(charge * 1e6).cast("decimal(38,0)"))) / 1e6).alias("sum_charge"),
         _avg_exact(F.sum(_dec(F.col("l_quantity"))), cnt).alias("avg_qty"),
         _avg_exact(F.sum(_dec(F.col("l_extendedprice"))), cnt).alias("avg_price"),
         _avg_exact(F.sum(_dec(F.col("l_discount"), 18, 4)), cnt).alias("avg_disc"),
@@ -74,12 +74,20 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+# sum_disc_price/sum_charge quantize each double PRODUCT to integer
+# micro-units with floor() — bit-identical on identical IEEE doubles in
+# both engines — sum exactly (decimal(38,0) / hugeint), then divide
+# back to currency units (identical integer -> identical double ->
+# identical division). A double->DECIMAL(18,6) per-row cast instead
+# rounds HALF_UP in Spark but half-to-even in DuckDB, and at sf1
+# (6M rows) a few boundary cases survive into the final ULP (found by
+# the sf1 sweep; sf0.01 was too small to hit one).
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*1e6) AS BIGINT)) AS DOUBLE)/1e6 AS sum_disc_price,
+  CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1e6) AS BIGINT)) AS DOUBLE)/1e6 AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,

@@ -51,6 +51,9 @@ def run_replay(cpus: int, n_events: int, log_path: str, trials: int = 2) -> dict
                 "SPARK_GRAFT_CPUS": str(cpus),
                 "SPARK_GRAFT_BENCH_EVENTS": str(n_events),
                 "SPARK_GRAFT_BENCH_MODE": "replay_only",
+                # this harness already takes min over fresh JVMs; one
+                # in-JVM trial each keeps the levels comparable to r2/r3
+                "SPARK_GRAFT_BENCH_TRIALS": "1",
                 "SPARK_GRAFT_EVENT_LOG": log_path,
                 "SPARK_GRAFT_TMP": "/dev/shm",
                 "SPARK_GRAFT_LOCAL_DIR": f"/dev/shm/spark-local-{cpus}",
