@@ -100,10 +100,13 @@ def main():
             r = pipe.replay(read_event_log(spark, log_path), epoch_size=epoch_size)
             sec = time.monotonic() - t0
             rows = pipe.target.count_rows()
-            if results is None or sec < min(replay_trials):
-                results, final_rows = r, rows
-            if final_rows != rows:
+            # drift check FIRST: a divergent trial must raise even (
+            # especially) when it is also the fastest so far
+            if results is not None and final_rows != rows:
                 raise AssertionError(f"trial row-count drift: {final_rows} vs {rows}")
+            if results is None or sec < min(replay_trials):
+                results = r
+            final_rows = rows
             replay_trials.append(sec)
             applied = sum(x.events for x in r)
             shutil.rmtree(wh, ignore_errors=True)

@@ -182,12 +182,15 @@ def copy_files(
     if story is not None:
         lst = lst.join(story.select("filepath").distinct(), "filepath", "left_anti")
 
-    subdir = (
-        render_mask(dest_path_mask, lst.columns)
-        if dest_path_mask
-        else F.regexp_replace("relpath", r"/[^/]*$", "")
-    )
-    subdir = F.when(subdir == F.col("relpath"), F.lit("")).otherwise(subdir)
+    if dest_path_mask:
+        subdir = render_mask(dest_path_mask, lst.columns)
+    else:
+        # default: preserve the relative directory; a file directly in
+        # base has no '/' so the strip leaves relpath unchanged — blank
+        # it. (Custom masks skip this guard: a rendered value that
+        # happens to EQUAL the relpath is still a real directory.)
+        subdir = F.regexp_replace("relpath", r"/[^/]*$", "")
+        subdir = F.when(subdir == F.col("relpath"), F.lit("")).otherwise(subdir)
     name = render_mask(rename_mask, lst.columns) if rename_mask else F.col("filename")
     rel_target = F.concat_ws("/", F.nullif(subdir, F.lit("")), name)
 
@@ -286,7 +289,9 @@ def process_files(
     per file on an executor and returns output row(s) conforming to
     ``output_ddl`` (None -> file skipped). Arrow-batched around the
     per-file calls; the function itself is user I/O (that is the
-    point of the operator), so keep byte-heavy work inside it."""
+    point of the operator), so keep byte-heavy work inside it.
+    Executes eagerly, exactly once per file — like copy/clean, a user
+    fn that archives or deletes must not rerun on every action."""
     import pandas as pd
 
     lst = files if files is not None else list_files(spark, base_dir, mask)
@@ -305,9 +310,11 @@ def process_files(
                 rows.extend(res if isinstance(res, list) else [res])
             yield pd.DataFrame(rows, columns=out_cols)
 
-    return lst.repartition(
-        max(spark.sparkContext.defaultParallelism, 1)
-    ).mapInPandas(execute, schema)
+    return _run_eager(
+        lst.repartition(max(spark.sparkContext.defaultParallelism, 1)).mapInPandas(
+            execute, schema
+        )
+    )
 
 
 def clean_files(

@@ -422,6 +422,22 @@ def near_dedup_minhash(
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, hash_fn=hash_fn, max_bucket=max_bucket
     )
+    return _drop_verified(df, pairs, text_col, id_col, threshold, transitive)
+
+
+def _drop_verified(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    transitive: bool,
+) -> DataFrame:
+    """Shared dedup tail: Jaccard-verify candidate pairs, then drop —
+    pairwise (higher id of each verified pair) or via transitive
+    connected-components clustering (one min-id representative per
+    cluster). Both near_dedup_minhash and near_dedup_winnow end here,
+    so drop-policy fixes land in exactly one place."""
     verified = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
     if transitive:
         comp = connected_components(verified)
@@ -473,17 +489,7 @@ def near_dedup_winnow(
         df, text_col, id_col, k=k, w=w, min_shared=min_shared,
         hash_fn=hash_fn, max_bucket=max_bucket,
     )
-    verified = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
-    if transitive:
-        comp = connected_components(verified)
-        dups = (
-            comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias(id_col))
-            .distinct()
-        )
-    else:
-        dups = verified.select(F.col("b_id").alias(id_col)).distinct()
-    return df.join(dups, id_col, "left_anti")
+    return _drop_verified(df, pairs, text_col, id_col, threshold, transitive)
 
 
 # -------------------------------------------------------------- simhash

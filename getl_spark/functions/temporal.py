@@ -24,14 +24,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# trailing zone designator: 'Z', '+05:30', '-0800', '+07'
-_OFFSET_RE = r"(Z|[+-]\d{2}(?::?\d{2})?)\s*$"
+# trailing zone designator: 'Z', '+05:30', '-0800', '+07' — anchored
+# to a PRECEDING time-of-day component so a date-only literal's day
+# field ('2024-01-02') is never misread as an offset
+_OFFSET_RE = r"\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?\s*(Z|[+-]\d{2}(?::?\d{2})?)\s*$"
 
 
 def tz_offset_minutes(ts_str: Column | str) -> Column:
     """Minutes east of UTC from a literal's trailing offset designator
     (``Z``/``+05:30``/``-0800``/``+07``); NULL when the string carries
-    no explicit offset."""
+    no explicit offset. The designator only counts when it follows a
+    time-of-day component — date-only strings have no offset."""
     c = F.col(ts_str) if isinstance(ts_str, str) else ts_str
     tok = F.regexp_extract(F.trim(c), _OFFSET_RE, 1)
     sign = F.when(F.substring(tok, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))

@@ -714,23 +714,27 @@ class LakeTable:
         want = columns or cur_fields
         # rename history: a legacy file's old column name reads as the
         # current name (add/rename are the only evolutions bookkeeping
-        # tables perform; width never changes there)
-        renames: dict[str, str] = {}
-        for e in self.meta.get("evolution_log", []):
-            if e["op"] == "rename":
-                renames[e["column"]] = e["new_name"]
+        # tables perform; width never changes there). Renames apply
+        # only if recorded AFTER the file's schema version — otherwise
+        # rename(x->y) followed by a later re-add of x would map a new
+        # file's x column onto y (upgrade_exprs does the same).
+        rename_log = [
+            (int(e["result_schema_id"]), e["column"], e["new_name"])
+            for e in self.meta.get("evolution_log", [])
+            if e["op"] == "rename"
+        ]
 
-        def final_name(n: str) -> str:
-            seen: set = set()
-            while n in renames and n not in seen:
-                seen.add(n)
-                n = renames[n]
+        def final_name(n: str, file_sid: int) -> str:
+            for rid, old, new in rename_log:
+                if rid > file_sid and n == old:
+                    n = new
             return n
 
         parts = []
         for f in files:
             pf = pq.ParquetFile(os.path.join(self.location, f["path"]))
-            file_cols = {c: final_name(c) for c in pf.schema_arrow.names}
+            fsid = int(f.get("schema_id", 0))
+            file_cols = {c: final_name(c, fsid) for c in pf.schema_arrow.names}
             extra = [c for c, cur in file_cols.items() if cur not in cur_fields]
             if extra:
                 # dropped columns need the Spark reader's full upgrade

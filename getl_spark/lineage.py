@@ -39,7 +39,12 @@ _COLS = [f.name for f in LINEAGE_SCHEMA.fields]
 
 
 class LineageRecorder:
-    def __init__(self, catalog: LakeCatalog, table_name: str = "_lineage"):
+    def __init__(
+        self,
+        catalog: LakeCatalog,
+        table_name: str = "_lineage",
+        legacy_owner: str = "tail",
+    ):
         self.table = catalog.create_table(
             table_name, LINEAGE_SCHEMA, PartitionSpec.none(), if_not_exists=True
         )
@@ -47,17 +52,20 @@ class LineageRecorder:
         # a pipeline column their epoch numbers collide and the repair
         # path deletes each other's rows. Pre-upgrade tables evolve in
         # place (the column is last, so row layout stays compatible) and
-        # legacy NULL rows are backfilled to the pre-upgrade default
-        # pipeline name ("tail") in the same upgrade — otherwise every
-        # pipeline claims them in metrics() and any pipeline's crash
-        # repair deletes them.
+        # legacy NULL rows are backfilled to ``legacy_owner`` in the
+        # same upgrade — otherwise every pipeline claims them in
+        # metrics() and any pipeline's crash repair deletes them. A
+        # pre-upgrade warehouse necessarily had ONE writer (epoch
+        # numbers would have collided otherwise), so the first pipeline
+        # to touch it post-upgrade passes its own name and keeps its
+        # metrics history continuous.
         if "pipeline" not in self.table.schema().fieldNames():
             self.table.add_column("pipeline", "string")
             existing = self.table.read_pandas()
             if len(existing):
-                existing["pipeline"] = existing["pipeline"].fillna("tail")
+                existing["pipeline"] = existing["pipeline"].fillna(legacy_owner)
                 self.table.overwrite_pandas(
-                    existing, {"backfill": "pipeline<-tail (legacy rows)"}
+                    existing, {"backfill": f"pipeline<-{legacy_owner} (legacy rows)"}
                 )
         # pre-round-4 tables called this column apply_latency_ms, but
         # the value has always been the WHOLE-EPOCH apply latency

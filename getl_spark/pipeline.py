@@ -146,7 +146,7 @@ class CDCPipeline:
         # an existing table's stored mode wins over the constructor arg
         self.merge_mode = self.target.properties.get("write.mode", merge_mode)
         self.checkpoints = CheckpointManager(self.catalog, method=checkpoint_method)
-        self.lineage = LineageRecorder(self.catalog)
+        self.lineage = LineageRecorder(self.catalog, legacy_owner=name)
 
     # ------------------------------------------------------------ one epoch
     def apply_epoch(self, events: DataFrame, epoch: int, schema_changes: list | None = None) -> EpochResult:
@@ -440,7 +440,11 @@ class CDCPipeline:
         """
         from getl_spark.lake.evolution import check_widen
 
-        internal_src = {"seq", "op"}
+        # the full event ENVELOPE is excluded from the diff — seq/op
+        # map to _seq/_deleted and event_ts is transport metadata
+        # (EVENT_SCHEMA_DDL), not payload; without this a standard
+        # event frame would implicitly add event_ts to the target
+        internal_src = {"seq", "op", "event_ts"}
         internal_tgt = {"_seq", "_epoch", "_deleted"}
         renames: dict[str, str] = {}
         for entry in self.target.meta["evolution_log"]:

@@ -166,17 +166,19 @@ def read_csv(
             if corrupt_aware:
                 # a cell that fails its per-field parse (raw non-null,
                 # parsed null) marks the row corrupt, same accounting
-                # as a scan-level malformed row
+                # as a scan-level malformed row. The recorded payload
+                # is a JSON map of the FORMATTED fields' cells — those
+                # were scanned as STRING, so the values are the actual
+                # source bytes (other columns were already type-coerced
+                # by the scan; re-serializing them would fabricate a
+                # line that never existed in the file)
                 fail = None
                 for name in fmt_fields:
                     c = F.col(name).isNotNull() & parsed[name].isNull()
                     fail = c if fail is None else (fail | c)
-                raw_record = F.concat_ws(
-                    field_delimiter,
-                    *[F.coalesce(F.col(f.name).cast("string"), F.lit("")) for f in scan_schema.fields],
-                )
+                raw_cells = F.to_json(F.struct(*[F.col(n) for n in fmt_fields]))
                 df = df.withColumn(
-                    CORRUPT_COL, F.coalesce(F.col(CORRUPT_COL), F.when(fail, raw_record))
+                    CORRUPT_COL, F.coalesce(F.col(CORRUPT_COL), F.when(fail, raw_cells))
                 )
             out = [parsed[f.name].alias(f.name) if f.name in parsed else F.col(f.name) for f in schema.fields]
             if corrupt_aware:

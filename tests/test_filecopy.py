@@ -70,6 +70,21 @@ def test_copy_rename_and_dest_path_masks(spark, src_tree, tmp_path):
                    rename_mask="{nope}.csv").toPandas()
 
 
+def test_copy_custom_mask_equal_to_relpath_keeps_directory(spark, tmp_path):
+    """A custom dest_path_mask whose rendered value coincides with a
+    file's relpath must still be used as the directory (the blanking
+    guard applies only to the default preserve-relpath branch)."""
+    base = tmp_path / "flat"
+    base.mkdir()
+    (base / "a.txt").write_text("x")
+    out = str(tmp_path / "out")
+    res = copy_files(
+        spark, str(base), "*.txt", [out], dest_path_mask="{filename}"
+    ).toPandas()
+    assert res["ok"].all()
+    assert os.path.exists(os.path.join(out, "a.txt", "a.txt"))
+
+
 def test_copy_segmented_shards_across_destinations(spark, src_tree, tmp_path):
     dests = [str(tmp_path / f"shard{i}") for i in range(2)]
     res = copy_files(

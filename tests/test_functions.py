@@ -458,6 +458,7 @@ def test_tz_parse_instant_and_offset(spark):
             ("2020-01-02 10:00:00+07",),
             ("2020-01-02 10:00:00",),  # no designator: session (UTC)
             ("not a timestamp",),
+            ("2024-12-25",),  # date-only: '-25' is a DAY, not an offset
         ],
         "s string",
     )
@@ -469,6 +470,7 @@ def test_tz_parse_instant_and_offset(spark):
     assert str(out[3].instant) == "2020-01-02 03:00:00" and out[3].tz_offset_min == 420
     assert str(out[4].instant) == "2020-01-02 10:00:00" and out[4].tz_offset_min is None
     assert out[5].instant is None
+    assert str(out[6].instant) == "2024-12-25 00:00:00" and out[6].tz_offset_min is None
 
 
 def test_tz_roundtrip_through_lake_table(spark, tmp_path):

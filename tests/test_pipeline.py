@@ -428,7 +428,10 @@ def test_schema_policy_merge_implicit_add(spark, tmp_warehouse, event_df, oracle
     assert "stars" not in pipe.target.schema().fieldNames()
     with_stars = event_df.withColumn("stars", (F.col("seq") % 5).cast("int"))
     pipe.apply_epoch(with_stars.filter("seq > 1000 AND seq <= 2000"), 1)
-    assert "stars" in pipe.target.schema().fieldNames()
+    cols = pipe.target.schema().fieldNames()
+    assert "stars" in cols
+    # the event ENVELOPE must never leak into the target via the policy
+    assert "event_ts" not in cols and "seq" not in cols and "op" not in cols
     for e in (2, 3):
         pipe.apply_epoch(
             with_stars.filter(f"seq > {e * 1000} AND seq <= {(e + 1) * 1000}"), e
