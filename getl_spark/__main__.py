@@ -63,6 +63,26 @@ def main(argv=None):
         help="external variable (repeatable)",
     )
 
+    cpf = sub.add_parser(
+        "copyfiles",
+        help="operational file copy/move (getl FileCopier): mask-matched "
+        "files to one or more destinations, rename/dest templates, "
+        "segmented sharding, retries, story-based exactly-once",
+    )
+    cpf.add_argument("--source", required=True, help="source base directory")
+    cpf.add_argument("--mask", required=True, help="file mask, e.g. '{region}/{date}/*.csv'")
+    cpf.add_argument("--dest", action="append", required=True, help="destination dir (repeatable)")
+    cpf.add_argument("--dest-path-mask", default=None)
+    cpf.add_argument("--rename-mask", default=None)
+    cpf.add_argument("--segmented-by", default=None, help="comma-separated mask vars")
+    cpf.add_argument("--move", action="store_true", help="delete source after all dests succeed")
+    cpf.add_argument("--attempts", type=int, default=3)
+    cpf.add_argument(
+        "--story", default=None,
+        help="parquet dir of previous runs' results; copied files are "
+        "skipped and this run's successes are appended",
+    )
+
     comp = sub.add_parser(
         "compact",
         help="MOR maintenance: fold deltas to one row per key; optionally "
@@ -204,6 +224,45 @@ def main(argv=None):
         sc.load_file(args.file)
         sc.run()
         print(json.dumps({"row_count": sc.row_count, "echoed": sc.echoed}))
+    elif args.cmd == "copyfiles":
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from getl_spark.filecopy import copy_files
+
+        story_df = None
+        if args.story and _os.path.isdir(args.story) and _os.listdir(args.story):
+            story_df = spark.read.parquet(args.story)
+        t0 = time.monotonic()
+        res = copy_files(
+            spark,
+            args.source,
+            args.mask,
+            args.dest,
+            dest_path_mask=args.dest_path_mask,
+            rename_mask=args.rename_mask,
+            segmented_by=args.segmented_by.split(",") if args.segmented_by else None,
+            delete_source=args.move,
+            number_attempts=args.attempts,
+            story=story_df,
+        )
+        ok = res.filter(F.col("ok"))
+        n_ok, n_fail = ok.count(), res.filter(~F.col("ok")).count()
+        if args.story:
+            ok.write.mode("append").parquet(args.story)
+        print(
+            json.dumps(
+                {
+                    "copied": n_ok,
+                    "failed": n_fail,
+                    "bytes": ok.agg(F.sum("bytes")).collect()[0][0] or 0,
+                    "sec": round(time.monotonic() - t0, 1),
+                }
+            )
+        )
+        if n_fail:
+            sys.exit(3)
     elif args.cmd == "state":
         from getl_spark.lake import LakeCatalog
 

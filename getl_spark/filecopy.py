@@ -228,13 +228,22 @@ def copy_files(
                     attempt, err = 0, None
                     while attempt < attempts_n:
                         attempt += 1
+                        tmp_dest = f"{dest}.__copying_{os.getpid()}"
                         try:
                             os.makedirs(os.path.dirname(dest), exist_ok=True)
-                            shutil.copy2(fp, dest)
+                            # write-then-rename: a reader (or a crash)
+                            # never observes a torn destination file;
+                            # os.replace is atomic on one filesystem
+                            shutil.copy2(fp, tmp_dest)
+                            os.replace(tmp_dest, dest)
                             err = None
                             break
                         except OSError as e:  # transient FS errors retry
                             err = f"{type(e).__name__}: {e}"
+                            try:
+                                os.remove(tmp_dest)
+                            except OSError:
+                                pass
                             if attempt < attempts_n:
                                 _t.sleep(sleep_s)
                     ok = err is None

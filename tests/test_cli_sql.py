@@ -86,3 +86,22 @@ def test_cli_compact_and_purge_preserve_state(spark, tmp_warehouse, capsys):
     after = pipe2.state().orderBy("repo", "path").toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
     assert pipe2.state(include_tombstones=True).filter("_deleted").count() == 0
+
+
+def test_cli_copyfiles_with_story(tmp_path):
+    src = tmp_path / "src"
+    for r in ("a", "b"):
+        (src / r).mkdir(parents=True)
+        (src / r / "f.csv").write_text("x\n")
+    dest = str(tmp_path / "dest")
+    story = str(tmp_path / "story")
+    args = [
+        "copyfiles", "--source", str(src), "--mask", "{r}/f.csv",
+        "--dest", dest, "--story", story,
+    ]
+    out1 = _run_cli(args)
+    assert out1["copied"] == 2 and out1["failed"] == 0
+    assert os.path.exists(os.path.join(dest, "a", "f.csv"))
+    # second run: story makes it exactly-once
+    out2 = _run_cli(args)
+    assert out2["copied"] == 0 and out2["failed"] == 0

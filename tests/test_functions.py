@@ -560,3 +560,12 @@ def test_near_dedup_winnow_catches_boilerplate_cluster_minhash_misses(spark):
         ).collect()
     )
     assert kept_minhash == [0, 1, 2, 3, 4], kept_minhash  # global Jaccard too low
+
+
+def test_winnow_pairs_plan_is_equijoin_not_cartesian(spark, docs):
+    """Scale guard: the winnow candidate join must be a shared-hash
+    equi-join — never a cartesian/broadcast-nested-loop all-pairs."""
+    pairs = dedupe.winnow_candidate_pairs(docs, k=8, w=4, min_shared=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
