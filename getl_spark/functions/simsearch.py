@@ -195,6 +195,119 @@ def embedding_near_dups(
     )
 
 
+def int_centroids(dim: int, n_centroids: int, seed: int) -> list[list[int]]:
+    """Deterministic integer centroid matrix (entries in [-500, 500]),
+    same sha256 derivation as :func:`int_hyperplanes` — reproducible on
+    any cluster with no stored model, expressible as SQL literals.
+
+    These are RANDOM coarse centroids: IVF-flat's plan shape (assign
+    base vectors to one cell, probe the query's nearest cells) without
+    a k-means training pass. Training better centroids is a drop-in
+    refinement — swap this function for stored k-means output; nothing
+    downstream changes."""
+    cents = []
+    for c in range(n_centroids):
+        row = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.sha256(f"ivf:{seed}:{c}:{i}".encode()).digest()[:8], "big"
+            )
+            row.append(h % 1001 - 500)
+        cents.append(row)
+    return cents
+
+
+def _ivf_cells_udf(centroids: list[list[int]], n_probe: int):
+    """Arrow-batched cell assignment: one exact int64 matmul per batch
+    against all centroids, then the ``n_probe`` best cells per vector
+    by (dot desc, cell asc). Integer dot products (floor(v*1024) grid x
+    integer centroids) are order-independent and bit-identical to the
+    DuckDB oracle's double arithmetic (every partial sum is an exact
+    integer < 2^53)."""
+    import numpy as np
+
+    mat = np.array(centroids, dtype=np.int64)  # (C, dim)
+
+    @F.pandas_udf("array<int>")
+    def f(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        arr = np.array(vecs.tolist(), dtype=np.float64)
+        q = np.floor(arr * 1024.0).astype(np.int64)
+        scores = q @ mat.T  # (n, C) exact int64
+        idx = np.arange(mat.shape[0], dtype=np.int64)
+        order = np.lexsort(
+            (np.broadcast_to(idx, scores.shape), -scores), axis=1
+        )[:, :n_probe]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return f
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-flat approximate top-k (the coarse-quantization ANN scale
+    path, complementing the hyperplane-LSH tables of :func:`lsh_topk`):
+    every corpus vector is ASSIGNED to its single nearest cell (argmax
+    integer dot against the centroid matrix), each query PROBES its
+    ``n_probe`` nearest cells, candidates are the corpus vectors in
+    probed cells, exact cosine re-ranks them.
+
+    Scale shape: the corpus partitions into ``n_centroids`` disjoint
+    cells — a probe touches n_probe/n_centroids of the data instead of
+    scanning it; raising ``n_probe`` dials recall toward exact at
+    linear cost. Ids-only through the cell join (wide vectors never
+    shuffle); the query side is broadcast.
+    """
+    if dim is None:
+        raise ValueError("ivf_topk requires dim explicitly")
+    cents = int_centroids(dim, n_centroids, seed)
+    assign = _ivf_cells_udf(cents, 1)
+    probe = _ivf_cells_udf(cents, n_probe)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), assign(F.col(vec_col))[0].alias("cell")
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), probe(F.col(vec_col)).alias("_cells")
+        ).select("query_id", F.explode("_cells").alias("cell"))
+    )
+    cand_ids = (
+        qb.join(cb, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand_ids.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

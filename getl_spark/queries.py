@@ -1206,6 +1206,73 @@ SELECT query_id, neighbor_id, score FROM (
 
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
+_IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 4, 7
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN top-k: corpus assigned to nearest coarse cell,
+    query probes its n_probe nearest cells, exact cosine re-rank —
+    the coarse-quantization scale path beside the hyperplane-LSH one
+    (a probe reads n_probe/n_centroids of the corpus, not all of it)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return simsearch.ivf_topk(
+        emb, queries, k=_ANN_K, dim=_ANN_DIM,
+        n_centroids=_IVF_CELLS, n_probe=_IVF_PROBE, seed=_IVF_SEED,
+    )
+
+
+def _sql_ivf_topk() -> str:
+    """Mirrors ivf_topk exactly: floor(v*1024) grid, int_centroids
+    literals, argmax-dot assignment with (score desc, cell asc) ties,
+    n_probe query cells, exact cosine re-rank. Every dot partial sum
+    is an exact integer < 2^53, so DuckDB's double arithmetic equals
+    Spark's int64 matmul bit-for-bit."""
+    cents = simsearch.int_centroids(_ANN_DIM, _IVF_CELLS, _IVF_SEED)
+    cell_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {c} AS cell, list_dot_product(iq, ["
+        + ", ".join(f"{w}.0" for w in row)
+        + "]::DOUBLE[]) AS s FROM qi"
+        for c, row in enumerate(cents)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), qi AS (
+  SELECT vec_id, list_transform(e, v -> floor(v * 1024.0)) AS iq FROM emb
+), cell_scores AS (
+  {cell_selects}
+), ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS r
+  FROM cell_scores
+), assigned AS (
+  SELECT vec_id, cell FROM ranked WHERE r = 1
+), probed AS (
+  SELECT vec_id, cell FROM ranked WHERE r <= {_IVF_PROBE} AND vec_id < 5
+), cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_cosine_similarity(qe.e, ce.e), 4) AS score
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.query_id
+  JOIN emb ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_ANN_K}
+"""
+
+
+SQL_IVF_TOPK = _sql_ivf_topk()
+
 _EMB_ND_THRESHOLD = 0.3
 
 
@@ -1285,6 +1352,7 @@ def all_queries():
         "near_dedup_winnow": q_near_dedup_winnow,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ivf_topk,
         "emb_near_dups": q_emb_near_dups,
     }
 
@@ -1329,5 +1397,6 @@ def all_oracles():
         "near_dedup_winnow": SQL_NEAR_DEDUP_WINNOW,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": SQL_IVF_TOPK,
         "emb_near_dups": SQL_EMB_NEAR_DUPS,
     }

@@ -569,3 +569,30 @@ def test_winnow_pairs_plan_is_equijoin_not_cartesian(spark, docs):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_assigns_duplicates_same_cell(spark):
+    """IVF-flat sanity: an identical vector lands in the query's argmax
+    cell, so the duplicate is always found; probing more cells only
+    adds candidates; dim is required explicitly."""
+    import math
+
+    base = [[math.cos(i / 5 + d) for d in range(16)] for i in range(40)]
+    rows = [(i, base[i]) for i in range(40)] + [(100, base[0])]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = simsearch.ivf_topk(
+        vecs, vecs.filter("vec_id = 0"), k=3, dim=16, n_centroids=8, n_probe=2
+    )
+    neighbors = [r.neighbor_id for r in got.collect()]
+    assert 100 in neighbors, "identical vector must share the argmax cell"
+    assert len(neighbors) <= 3
+    # full probe == exact: probing every cell recovers brute-force top-k
+    full = simsearch.ivf_topk(
+        vecs, vecs.filter("vec_id = 0"), k=3, dim=16, n_centroids=8, n_probe=8
+    )
+    exact = simsearch.cosine_topk(vecs, vecs.filter("vec_id = 0"), k=3)
+    assert {(r.neighbor_id, r.score) for r in full.collect()} == {
+        (r.neighbor_id, r.score) for r in exact.collect()
+    }
+    with pytest.raises(ValueError, match="dim"):
+        simsearch.ivf_topk(vecs, vecs.filter("vec_id = 0"), k=3)

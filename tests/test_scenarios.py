@@ -165,3 +165,79 @@ def test_incremental_ranges_equal_one_shot(spark, tmp_warehouse):
     for e in range(3):
         sub = lin[lin["epoch"] == e]
         assert sub["seq_min"].min() > e * 1000 and sub["seq_max"].max() <= (e + 1) * 1000
+
+
+def test_round4_end_to_end_landing_zone_pipeline(spark, tmp_warehouse, tmp_path):
+    """Integration of the round-4 surfaces as a realistic landing-zone
+    flow: (1) upstream drops mixed-format CSV change files; (2) the
+    operational copier moves them into a landing dir exactly-once;
+    (3) the CSV reads with per-field formats; (4) a schema_policy
+    pipeline ingests them — including a column that appears
+    mid-stream; (5) processed files are archived (move semantics);
+    (6) a rerun of every step is a no-op."""
+    import os
+
+    from getl_spark.filecopy import copy_files, list_files
+    from getl_spark.schema import parse_ddl
+    from getl_spark.sources import read_csv
+
+    drop = tmp_path / "drop"
+    # two change files; the second adds a 'stars' column and uses the
+    # same per-field date format for a tz-naive business date
+    (drop / "b1").mkdir(parents=True)
+    (drop / "b1" / "changes.csv").write_text(
+        "seq;op;repo;path;commit;lang;content;d\n"
+        "1;I;r1;a.py;c1;py;alpha;02/01/2024\n"
+        "2;I;r1;b.py;c2;py;beta;03/01/2024\n"
+        "3;I;r2;c.py;c3;py;gamma;04/01/2024\n"
+    )
+    (drop / "b2").mkdir(parents=True)
+    (drop / "b2" / "changes.csv").write_text(
+        "seq;op;repo;path;commit;lang;content;d;stars\n"
+        "4;U;r1;a.py;c4;py;alpha2;05/01/2024;7\n"
+        "5;D;r1;b.py;c5;py;;06/01/2024;0\n"
+    )
+    landing = str(tmp_path / "landing")
+
+    # (2) copy drop -> landing, exactly-once via story
+    res1 = copy_files(spark, str(drop), "{batch}/changes.csv", [landing])
+    assert res1.count() == 2
+    story = res1.filter(F.col("ok")).select("filepath")
+    assert copy_files(spark, str(drop), "{batch}/changes.csv", [landing], story=story).count() == 0
+
+    # (3)+(4) read each batch with per-field formats, ingest with the
+    # implicit schema policy (stars appears in batch 2 only)
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=4, schema_policy="merge")
+    for e, batch in enumerate(["b1", "b2"]):
+        sch = "seq bigint, op string, repo string, path string, commit string, lang string, content string, d date"
+        if batch == "b2":
+            sch += ", stars int"
+        df = read_csv(
+            spark, os.path.join(landing, batch, "changes.csv"),
+            schema=parse_ddl(sch), field_delimiter=";",
+            field_formats={"d": "dd/MM/yyyy"},
+        )
+        pipe.apply_epoch(df, e)
+    state = {(r.repo, r.path): r for r in pipe.state().collect()}
+    assert set(state) == {("r1", "a.py"), ("r2", "c.py")}  # b.py deleted
+    assert state[("r1", "a.py")].content == "alpha2"
+    assert state[("r1", "a.py")].stars == 7
+    assert state[("r2", "c.py")].stars is None  # pre-policy row
+    assert str(state[("r2", "c.py")].d) == "2024-01-04"
+    cols = pipe.target.schema().fieldNames()
+    assert "stars" in cols and "op" not in cols and "seq" not in cols
+
+    # (4b) replaying a committed epoch is a no-op (exactly-once)
+    df2 = read_csv(
+        spark, os.path.join(landing, "b1", "changes.csv"),
+        schema=parse_ddl("seq bigint, op string, repo string, path string, commit string, lang string, content string, d date"),
+        field_delimiter=";", field_formats={"d": "dd/MM/yyyy"},
+    )
+    assert not pipe.apply_epoch(df2, 0).applied
+
+    # (5) archive processed landing files with move semantics
+    archive = str(tmp_path / "archive")
+    moved = copy_files(spark, landing, "{batch}/changes.csv", [archive], delete_source=True)
+    assert moved.count() == 2 and moved.toPandas()["ok"].all()
+    assert list_files(spark, landing, "{batch}/changes.csv").count() == 0
+    assert os.path.exists(os.path.join(archive, "b2", "changes.csv"))
