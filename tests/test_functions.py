@@ -596,3 +596,30 @@ def test_ivf_topk_assigns_duplicates_same_cell(spark):
     }
     with pytest.raises(ValueError, match="dim"):
         simsearch.ivf_topk(vecs, vecs.filter("vec_id = 0"), k=3)
+
+
+def test_tz_roundtrip_property(spark):
+    """Property: for any instant and any offset in [-14h, +14h] at
+    minute granularity, tz_format(tz_parse(s)) == s for canonical
+    'yyyy-MM-dd HH:mm:ss[+-]HH:MM' literals."""
+    import random
+
+    from getl_spark.functions import temporal
+
+    rng = random.Random(77)
+    lits = []
+    for _ in range(200):
+        y, mo, d = rng.randint(1971, 2037), rng.randint(1, 12), rng.randint(1, 28)
+        h, mi, se = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+        off = rng.randint(-14 * 60, 14 * 60)
+        sign, a = ("-" if off < 0 else "+"), abs(off)
+        lits.append(
+            f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{se:02d}{sign}{a // 60:02d}:{a % 60:02d}"
+        )
+    df = spark.createDataFrame([(s,) for s in lits], "s string")
+    out = df.select(
+        "s",
+        temporal.tz_parse("s").alias("p"),
+    ).select("s", temporal.tz_format("p.instant", "p.tz_offset_min").alias("rt")).collect()
+    bad = [(r.s, r.rt) for r in out if r.s != r.rt]
+    assert not bad, f"round-trip failures: {bad[:5]}"

@@ -519,3 +519,22 @@ def test_mor_concurrent_same_name_writers_no_double_append(spark, tmp_warehouse,
     files = [f for f in p1.target.current_files()]
     rows = sum(f["rows"] for f in files)
     assert rows == p1.state(include_tombstones=True).count()  # no duplicate delta
+
+
+def test_schema_policy_merge_in_mor_mode(spark, tmp_warehouse, event_df, oracle_final):
+    """The implicit policy must work identically in merge-on-read mode:
+    the delta append casts every row to the evolved target schema, and
+    the resolved read surfaces the new column."""
+    pipe = CDCPipeline(
+        spark, tmp_warehouse, num_buckets=8, merge_mode="mor", schema_policy="merge"
+    )
+    pipe.apply_epoch(event_df.filter("seq <= 2000"), 0)
+    with_stars = event_df.withColumn("stars", (F.col("seq") % 5).cast("int"))
+    pipe.apply_epoch(with_stars.filter("seq > 2000"), 1)
+    pipe.compact()
+    state = pipe.state()
+    pdf = state.toPandas()
+    assert "stars" in pdf.columns and "event_ts" not in pdf.columns
+    assert pdf.loc[pdf["_seq"] <= 2000, "stars"].isna().all()
+    assert (pdf.loc[pdf["_seq"] > 2000, "stars"] == pdf.loc[pdf["_seq"] > 2000, "_seq"] % 5).all()
+    assert_final_state_matches(state.drop("_epoch", "stars").toPandas(), oracle_final)
