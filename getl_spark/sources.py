@@ -106,6 +106,8 @@ def read_csv(
     keep_corrupt_rows: bool = False,
     validate_rows: bool = True,
     field_formats: dict | None = None,
+    row_delimiter: str | None = None,
+    multi_line: bool = False,
 ) -> DataFrame:
     """getl CSVDataset.eachRow. PERMISSIVE mode: malformed rows land in
     ``_corrupt_record`` (the errors-dataset pattern) instead of failing
@@ -137,6 +139,14 @@ def read_csv(
         r = r.option("dateFormat", date_format)
     if timestamp_format:
         r = r.option("timestampFormat", timestamp_format)
+    if row_delimiter is not None:
+        # getl rowDelimiter; Spark reads only accept 1-char lineSep, but
+        # '\r\n' files parse fine with the default auto-detection
+        r = r.option("lineSep", row_delimiter)
+    if multi_line:
+        # quoted cells containing row delimiters (getl escaped TEXT
+        # round-trip) need the whole-file parser
+        r = r.option("multiLine", True)
     fmt_fields = dict(field_formats or {})
     if fmt_fields and schema is None:
         raise ValueError("field_formats requires an explicit schema")
@@ -211,6 +221,10 @@ def write_csv(
     split_size: int | None = None,
     mode: str = "overwrite",
     field_formats: dict | None = None,
+    null_as_value: str | None = None,
+    row_delimiter: str | None = None,
+    quote_str: str = '"',
+    escaped: bool = False,
 ) -> None:
     """getl CSV write incl. isSplit/splitSize portions (split ->
     maxRecordsPerFile), isGzFile (-> gzip codec), and per-field output
@@ -229,7 +243,19 @@ def write_csv(
                 for c in df.columns
             ]
         )
-    w = df.write.option("header", header).option("sep", field_delimiter).mode(mode)
+    w = (
+        df.write.option("header", header)
+        .option("sep", field_delimiter)
+        .option("quote", quote_str)
+        .option("escape", "\\" if escaped else quote_str)
+        .mode(mode)
+    )
+    if null_as_value is not None:
+        # getl nullAsValue write side: NULL cells serialize as a marker
+        # the matching read option turns back into NULL
+        w = w.option("nullValue", null_as_value)
+    if row_delimiter is not None:
+        w = w.option("lineSep", row_delimiter)
     if is_gz_file:
         w = w.option("compression", "gzip")
     if split_size:
