@@ -127,6 +127,49 @@ def parse_ddl(ddl: str) -> StructType:
     return StructType(fields)
 
 
+def load_getl_schema(path: str) -> tuple[StructType, dict]:
+    """Parse a getl dataset schema file (the JSON ``Field`` list getl
+    writes beside CSVs with ``autoSchema``/``schemaFileName`` — e.g.
+    the OGG change-export descriptor
+    /root/reference/src/test/resources/csv/ogg.dsv.schema, consumed by
+    csv/CSVDriver via data/Field deserialization).
+
+    Returns ``(schema, field_formats)`` ready for
+    :func:`getl_spark.sources.read_csv`: getl types map onto Spark
+    types (NUMERIC with length/precision -> decimal, without -> double;
+    DATETIME/TIMESTAMP_WITH_TIMEZONE -> timestamp; TIME -> string per
+    the documented mapping) and per-field ``format`` strings become
+    ``field_formats`` entries so a migrating getl user's existing
+    .schema files drive the read unchanged."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    fields, formats = [], {}
+    type_map = {
+        "STRING": "string", "TEXT": "string", "UUID": "string",
+        "ROWID": "string", "OBJECT": "string", "TIME": "string",
+        "INTEGER": "int", "BIGINT": "bigint", "DOUBLE": "double",
+        "BOOLEAN": "boolean", "DATE": "date", "DATETIME": "timestamp",
+        "TIMESTAMP_WITH_TIMEZONE": "timestamp", "BLOB": "binary",
+    }
+    for f in doc.get("fields", []):
+        name = f["name"].lower()
+        t = str(f.get("type", "STRING")).upper()
+        if t == "NUMERIC":
+            length, prec = f.get("length"), f.get("precision")
+            typ = f'decimal({int(length)},{int(prec or 0)})' if length else "double"
+        else:
+            typ = type_map.get(t)
+            if typ is None:
+                raise ValueError(f"unsupported getl field type {t} for {name}")
+        fields.append(StructField(name, parse_type(typ), not f.get("isNull") is False))
+        fmt = f.get("format")
+        if fmt and t in ("DATE", "DATETIME", "TIMESTAMP_WITH_TIMEZONE", "TIME", "BOOLEAN", "NUMERIC"):
+            formats[name] = fmt
+    return StructType(fields), formats
+
+
 def field(
     name: str,
     dtype: str,

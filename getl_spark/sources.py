@@ -48,7 +48,14 @@ def _formatted_parse_expr(raw, field, spec):
         # timestamp->date cast is parse-free and safe under ANSI
         return F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd")).cast("date")
     if t == "timestamp":
-        return F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd HH:mm:ss"))
+        # getl's ParseDate is lenient about fractional-second width
+        # (an OGG export declares .SSS but carries 6 digits) — fall
+        # back to Spark's native literal parser when the declared
+        # pattern misses, so real-world exports still load
+        return F.coalesce(
+            F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd HH:mm:ss")),
+            raw.try_cast("timestamp"),
+        )
     if t == "boolean":
         tok_t, tok_f = (fmt or "1|0").split("|", 1)
         return (
@@ -63,6 +70,10 @@ def _formatted_parse_expr(raw, field, spec):
             v = F.translate(v, ".", "")
             v = F.regexp_replace(v, re.escape(dec_sep), ".")
         return v.try_cast(field.dataType)
+    if t == "string":
+        # getl TIME fields map to string (documented decision) — the
+        # declared format describes the lexical shape, nothing to parse
+        return raw
     raise ValueError(
         f"field_formats: unsupported target type {field.dataType.simpleString()} "
         f"for field '{field.name}'"
@@ -108,6 +119,7 @@ def read_csv(
     field_formats: dict | None = None,
     row_delimiter: str | None = None,
     multi_line: bool = False,
+    schema_file: str | None = None,
 ) -> DataFrame:
     """getl CSVDataset.eachRow. PERMISSIVE mode: malformed rows land in
     ``_corrupt_record`` (the errors-dataset pattern) instead of failing
@@ -147,6 +159,17 @@ def read_csv(
         # quoted cells containing row delimiters (getl escaped TEXT
         # round-trip) need the whole-file parser
         r = r.option("multiLine", True)
+    if schema_file is not None:
+        # getl autoSchema/schemaFileName: the JSON Field-list file
+        # supplies both the schema and the per-field cell formats;
+        # explicit arguments override
+        from getl_spark.schema import load_getl_schema
+
+        file_schema, file_formats = load_getl_schema(schema_file)
+        if schema is None:
+            schema = file_schema
+        file_formats.update(field_formats or {})
+        field_formats = file_formats
     fmt_fields = dict(field_formats or {})
     if fmt_fields and schema is None:
         raise ValueError("field_formats requires an explicit schema")

@@ -86,3 +86,62 @@ def test_row_delimiter_crlf_roundtrip(spark, tmp_path):
     auto = read_csv(spark, out, schema=sch, header=False)
     assert sorted(r.id for r in auto.collect()) == [1, 2, 3]
     assert {r.name for r in auto.collect()} == {"name 1", "name 2", "name 3"}
+
+
+def test_getl_schema_file_ogg_style_cdc_load(spark, tmp_path):
+    """LoadOGGTest parity: a getl .schema JSON (Field list) drives the
+    CSV read — schema AND per-field formats — so a GoldenGate-style
+    change export loads without hand-written DDL. The real reference
+    descriptor (57 fields) must parse; the data rows are synthesized
+    in its shape (pipe-delimited, <NULL> markers, quoted strings,
+    yyyy-MM-dd:HH:mm:ss secondary datetime format)."""
+    import json
+    import os
+
+    from getl_spark.schema import load_getl_schema
+
+    ref = "/root/reference/src/test/resources/csv/ogg.dsv.schema"
+    if os.path.exists(ref):
+        sch, fmts = load_getl_schema(ref)
+        names = sch.fieldNames()
+        assert names[:5] == ["operation", "timestamp", "scn", "file_num", "file_row"]
+        assert dict(zip(names, [f.dataType.simpleString() for f in sch.fields]))[
+            "scn"
+        ] == "bigint"
+        assert fmts["timestamp"] == "yyyy-MM-dd HH:mm:ss.SSS"
+
+    # self-contained mini descriptor in the same format
+    schema_file = str(tmp_path / "cdc.dsv.schema")
+    with open(schema_file, "w") as fh:
+        json.dump(
+            {
+                "fields": [
+                    {"name": "OPERATION", "type": "STRING", "length": 1},
+                    {"name": "TIMESTAMP", "type": "DATETIME",
+                     "format": "yyyy-MM-dd HH:mm:ss.SSS"},
+                    {"name": "SCN", "type": "BIGINT"},
+                    {"name": "STRT", "type": "DATETIME",
+                     "format": "yyyy-MM-dd:HH:mm:ss"},
+                    {"name": "AMT", "type": "NUMERIC", "length": 12, "precision": 2},
+                    {"name": "N_BLK", "type": "NUMERIC"},
+                ]
+            },
+            fh,
+        )
+    data = str(tmp_path / "cdc.dsv")
+    with open(data, "w") as fh:
+        # micro-fraction timestamp exercises the lenient fallback
+        fh.write('"I"|"2018-04-16 00:01:11.011125"|"13116676799789"|"2018-04-15:23:50:56"|"12.50"|0\n')
+        fh.write('"U"|"2018-04-16 00:01:22.125"|"13116676799804"|"2018-04-16:00:00:23"|<NULL>|13884421\n')
+    df = read_csv(
+        spark, data, schema_file=schema_file, header=False,
+        field_delimiter="|", null_as_value="<NULL>",
+    )
+    rows = sorted(df.collect(), key=lambda r: r.scn)
+    assert [r.operation for r in rows] == ["I", "U"]
+    assert rows[0].scn == 13116676799789
+    assert str(rows[0].strt) == "2018-04-15 23:50:56"
+    assert str(rows[0].timestamp) == "2018-04-16 00:01:11.011125"  # lenient fractions
+    assert str(rows[1].timestamp) == "2018-04-16 00:01:22.125000"
+    assert float(rows[0].amt) == 12.5 and rows[1].amt is None
+    assert rows[1].n_blk == 13884421.0
