@@ -49,18 +49,27 @@ COPY_RESULT_DDL = (
 )
 
 
-def list_files(spark: SparkSession, base_dir: str, mask: str = "*") -> DataFrame:
+def list_files(
+    spark: SparkSession,
+    base_dir: str,
+    mask: str = "*",
+    var_types: dict | None = None,
+) -> DataFrame:
     """Distributed file listing with getl's typed mask variables.
 
     First-level entries of ``base_dir`` are parallelized; each task
     walks its subtree (os.walk) and emits one row per file matching the
     compiled mask regex. Columns: the getl built-ins (filepath,
     filename, filenameonly, fileextonly, filedate, filesize, relpath)
-    plus one string column per ``{var}`` in the mask.
+    plus one column per ``{var}`` in the mask — string by default,
+    typed (with non-parsing paths excluded) when ``var_types`` declares
+    a type/format, mirroring ``Path.variable`` + buildList filtering.
     """
     import pandas as pd
 
-    pattern, names = mask_to_regex(mask)
+    from getl_spark.sources import apply_mask_var_types
+
+    pattern, names = mask_to_regex(mask, var_types)
     rx = re.compile(pattern + "$")
     base = os.path.abspath(base_dir)
 
@@ -116,7 +125,7 @@ def list_files(spark: SparkSession, base_dir: str, mask: str = "*") -> DataFrame
                         rows.append(row)
             yield pd.DataFrame(rows, columns=out_cols)
 
-    return roots_df.mapInPandas(walk, schema)
+    return apply_mask_var_types(roots_df.mapInPandas(walk, schema), names, var_types)
 
 
 def render_mask(template: str, df_columns: list[str]) -> Column:

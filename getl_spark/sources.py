@@ -633,16 +633,68 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
-def mask_to_regex(mask: str) -> tuple[str, list[str]]:
+def _format_to_regex(fmt: str) -> str:
+    """Date/number format pattern -> digit-shaped regex (getl generates
+    a per-variable pattern from the declared format,
+    utils/Path.groovy:236-280)."""
+    return "".join(r"\d" if ch in "yMdHmsS" else re.escape(ch) for ch in fmt)
+
+
+_VAR_TYPE_DEFAULT_FMT = {"date": "yyyy-MM-dd", "datetime": "yyyy-MM-dd HH:mm:ss"}
+
+
+def mask_to_regex(mask: str, var_types: dict | None = None) -> tuple[str, list[str]]:
     """Compile a getl file mask (``{region}/{date}/file_{num}.csv``)
     into a regex with one group per variable (Path.compile,
-    /root/reference/src/main/groovy/getl/utils/Path.groovy:200-230)."""
+    /root/reference/src/main/groovy/getl/utils/Path.groovy:200-230).
+
+    ``var_types`` optionally types variables the way getl's
+    ``Path.variable`` does: ``{"num": "int", "date": ("date",
+    "yyyyMMdd")}`` — typed variables match a constrained pattern
+    (digits for ints, the format's shape for dates), so paths that
+    can't carry the declared type never match at all."""
     names = _MASK_VAR.findall(mask)
     pattern = re.escape(mask)
     for n in names:
-        pattern = pattern.replace(re.escape("{%s}" % n), r"([^/]+)")
+        spec = (var_types or {}).get(n)
+        if spec:
+            t, fmt = spec if isinstance(spec, tuple) else (spec, None)
+            if t in ("date", "datetime", "time"):
+                grp = _format_to_regex(fmt or _VAR_TYPE_DEFAULT_FMT.get(t, "HH:mm:ss"))
+            elif t in ("int", "integer", "bigint", "long"):
+                grp = r"\d+"
+            else:
+                grp = r"[^/]+"
+            group = f"({grp})"
+        else:
+            group = r"([^/]+)"
+        pattern = pattern.replace(re.escape("{%s}" % n), group, 1)
     pattern = pattern.replace(re.escape("*"), r"[^/]*")
     return pattern, names
+
+
+def apply_mask_var_types(df: DataFrame, names: list[str], var_types: dict | None) -> DataFrame:
+    """Cast extracted mask-variable columns to their declared types and
+    DROP rows whose values don't parse (getl buildList excludes paths
+    whose variables fail their type/format — Manager.groovy:763-948):
+    a regex-shaped-but-invalid value like month 13 is not a match."""
+    for n in names:
+        spec = (var_types or {}).get(n)
+        if not spec:
+            continue
+        t, fmt = spec if isinstance(spec, tuple) else (spec, None)
+        if t == "date":
+            c = F.try_to_timestamp(
+                F.col(n), F.lit(fmt or _VAR_TYPE_DEFAULT_FMT["date"])
+            ).cast("date")
+        elif t == "datetime":
+            c = F.try_to_timestamp(F.col(n), F.lit(fmt or _VAR_TYPE_DEFAULT_FMT["datetime"]))
+        elif t in ("int", "integer", "bigint", "long"):
+            c = F.col(n).try_cast("bigint" if t in ("bigint", "long") else "int")
+        else:
+            continue
+        df = df.withColumn(n, c).filter(F.col(n).isNotNull())
+    return df
 
 
 def read_with_mask_vars(
@@ -650,20 +702,29 @@ def read_with_mask_vars(
     base_dir: str,
     mask: str,
     format: str = "csv",
+    var_types: dict | None = None,
     **reader_kwargs,
 ) -> DataFrame:
     """Read files matching a mask, adding each mask variable as a typed
     column extracted from the file path (the buildList mask-variable
-    table, files/Manager.groovy:763-948) plus ``_file`` provenance."""
-    pattern, names = mask_to_regex(mask)
+    table, files/Manager.groovy:763-948) plus ``_file`` provenance.
+    ``var_types`` types the variables (``{"num": "int", "date":
+    ("date", "yyyyMMdd")}``): typed columns come back as their Spark
+    type and files whose path values don't parse are EXCLUDED, getl's
+    buildList filtering."""
+    pattern, names = mask_to_regex(mask, var_types)
     glob = _MASK_VAR.sub("*", mask)
     reader = getattr(spark.read, format)
     df = reader(f"{base_dir}/{glob}", **reader_kwargs)
     df = df.withColumn("_file", F.input_file_name())
     full_pattern = f".*/{pattern}$"
+    if var_types:
+        # the typed regex itself filters: a path whose var doesn't even
+        # SHAPE-match extracts as '' and is dropped below
+        df = df.filter(F.col("_file").rlike(full_pattern))
     for i, n in enumerate(names, start=1):
         df = df.withColumn(n, F.regexp_extract(F.col("_file"), full_pattern, i))
-    return df
+    return apply_mask_var_types(df, names, var_types)
 
 
 def already_ingested_filter(

@@ -184,3 +184,45 @@ def test_process_files_user_closure(spark, src_tree):
     ).toPandas()
     assert len(out) == 3  # apac skipped
     assert set(out["region"]) == {"emea"} and (out["lines"] == 2).all()
+
+
+def test_typed_mask_vars_filter_and_type(spark, tmp_path):
+    """Path.variable typing: typed mask vars come back as their Spark
+    type, and paths whose values don't carry the declared type/format
+    are excluded from the listing (buildList filtering)."""
+    base = tmp_path / "typed"
+    for d in ("2024-01-05", "2024-13-40", "notadate"):
+        (base / d).mkdir(parents=True)
+        (base / d / "f_7.csv").write_text("x\n")
+    (base / "2024-02-06").mkdir()
+    (base / "2024-02-06" / "f_xx.csv").write_text("x\n")
+
+    lst = list_files(
+        spark, str(base), "{d}/f_{n}.csv",
+        var_types={"d": "date", "n": "int"},
+    ).toPandas()
+    # 'notadate' fails the shape regex; '2024-13-40' parses to NULL and
+    # is dropped; 'f_xx' fails the int shape
+    assert len(lst) == 1
+    assert str(lst["d"].iloc[0]) == "2024-01-05"
+    assert int(lst["n"].iloc[0]) == 7
+    # untyped listing keeps everything as strings
+    raw = list_files(spark, str(base), "{d}/f_{n}.csv").toPandas()
+    assert len(raw) == 4 and raw["d"].dtype == object
+
+
+def test_typed_mask_vars_in_read(spark, tmp_path):
+    from getl_spark.sources import read_with_mask_vars
+
+    base = tmp_path / "r"
+    for d, n in (("20240105", 1), ("20241340", 2)):
+        (base / d).mkdir(parents=True)
+        (base / d / f"part{n}.csv").write_text("id\n1\n")
+    df = read_with_mask_vars(
+        spark, str(base), "{d}/part{n}.csv", format="csv", header=True,
+        var_types={"d": ("date", "yyyyMMdd"), "n": "int"},
+    )
+    rows = df.select("d", "n").distinct().collect()
+    assert len(rows) == 1  # month-13 path excluded
+    assert str(rows[0].d) == "2024-01-05" and rows[0].n == 1
+    assert dict(df.dtypes)["d"] == "date" and dict(df.dtypes)["n"] == "int"
