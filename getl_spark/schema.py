@@ -170,6 +170,43 @@ def load_getl_schema(path: str) -> tuple[StructType, dict]:
     return StructType(fields), formats
 
 
+def save_getl_schema(
+    schema: StructType, path: str, field_formats: dict | None = None
+) -> None:
+    """Write a getl-compatible dataset schema file (the inverse of
+    :func:`load_getl_schema` — getl's ``saveSchema``/``autoSchema``
+    write side): a Spark schema (+ optional per-field formats)
+    serializes to the JSON Field list getl reads, so data produced by
+    this engine round-trips into a getl deployment with its schema."""
+    import json
+
+    inverse = {
+        "string": "STRING", "int": "INTEGER", "smallint": "INTEGER",
+        "tinyint": "INTEGER", "bigint": "BIGINT", "double": "DOUBLE",
+        "float": "DOUBLE", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "DATETIME", "binary": "BLOB",
+    }
+    fields = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        entry: dict = {"name": f.name.upper()}
+        if s.startswith("decimal"):
+            p, sc = map(int, s[s.index("(") + 1 : -1].split(","))
+            entry.update({"type": "NUMERIC", "length": p, "precision": sc})
+        elif s in inverse:
+            entry["type"] = inverse[s]
+        else:
+            raise ValueError(f"cannot express {s} as a getl field type ({f.name})")
+        if not f.nullable:
+            entry["isNull"] = False
+        fmt = (field_formats or {}).get(f.name)
+        if fmt:
+            entry["format"] = fmt if isinstance(fmt, str) else fmt.get("format")
+        fields.append(entry)
+    with open(path, "w") as fh:
+        json.dump({"fields": fields}, fh, indent=2)
+
+
 def field(
     name: str,
     dtype: str,

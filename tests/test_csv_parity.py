@@ -145,3 +145,24 @@ def test_getl_schema_file_ogg_style_cdc_load(spark, tmp_path):
     assert str(rows[1].timestamp) == "2018-04-16 00:01:22.125000"
     assert float(rows[0].amt) == 12.5 and rows[1].amt is None
     assert rows[1].n_blk == 13884421.0
+
+
+def test_getl_schema_file_save_load_roundtrip(tmp_path):
+    """saveSchema inverse: Spark schema + formats -> getl JSON -> back,
+    identical schema and formats."""
+    from getl_spark.schema import load_getl_schema, save_getl_schema
+
+    sch = parse_ddl(
+        "id bigint, name string not null, amt decimal(12,2), ok boolean, "
+        "d date, ts timestamp, payload binary"
+    )
+    fmts = {"d": "dd/MM/yyyy", "ts": "yyyy-MM-dd HH:mm:ss.SSS", "ok": "Y|N"}
+    p = str(tmp_path / "t.schema")
+    save_getl_schema(sch, p, fmts)
+    back, back_fmts = load_getl_schema(p)
+    assert [f.dataType.simpleString() for f in back.fields] == [
+        f.dataType.simpleString() for f in sch.fields
+    ]
+    assert back.fieldNames() == [n.lower() for n in sch.fieldNames()]
+    assert back["name"].nullable is False and back["id"].nullable is True
+    assert back_fmts == fmts
