@@ -242,21 +242,29 @@ def main(argv=None):
             args.dest,
             dest_path_mask=args.dest_path_mask,
             rename_mask=args.rename_mask,
-            segmented_by=args.segmented_by.split(",") if args.segmented_by else None,
+            segmented_by=(
+                [s.strip() for s in args.segmented_by.split(",") if s.strip()]
+                if args.segmented_by
+                else None
+            ),
             delete_source=args.move,
             number_attempts=args.attempts,
             story=story_df,
         )
         ok = res.filter(F.col("ok"))
-        n_ok, n_fail = ok.count(), res.filter(~F.col("ok")).count()
+        n_copies, n_fail = ok.count(), res.filter(~F.col("ok")).count()
+        n_files = res.select("filepath").distinct().count()
         if args.story:
+            # per-(file,dest) rows: a rerun retries exactly the failed
+            # destinations, never re-copies the succeeded ones
             ok.write.mode("append").parquet(args.story)
         print(
             json.dumps(
                 {
-                    "copied": n_ok,
+                    "files": n_files,
+                    "copies": n_copies,  # one per (file, destination)
                     "failed": n_fail,
-                    "bytes": ok.agg(F.sum("bytes")).collect()[0][0] or 0,
+                    "bytes_written": ok.agg(F.sum("bytes")).collect()[0][0] or 0,
                     "sec": round(time.monotonic() - t0, 1),
                 }
             )

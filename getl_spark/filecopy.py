@@ -178,9 +178,11 @@ def copy_files(
       filedate, filesize); defaults preserve the relative path and name;
     - each copy retries up to ``number_attempts`` times; a file's
       source is deleted only after ALL its destinations succeeded;
-    - ``story`` (any DataFrame with a ``filepath`` column — e.g. a
-      previous run's successful results) makes the rerun exactly-once:
-      already-copied files are anti-joined away before any I/O.
+    - ``story`` (a previous run's successful results) makes the rerun
+      exactly-once: with a ``dest`` column the skip is PER
+      (file, destination) — a multi-destination run where one
+      destination failed retries exactly the failed destination; with
+      only a ``filepath`` column the whole file is skipped.
 
     Returns one row per (file, destination): COPY_RESULT_DDL. Persist
     the ``ok`` rows into your story table to complete the loop.
@@ -188,8 +190,16 @@ def copy_files(
     if not destinations:
         raise ValueError("at least one destination is required")
     lst = files if files is not None else list_files(spark, base_dir, mask)
+    story_dests = None
     if story is not None:
-        lst = lst.join(story.select("filepath").distinct(), "filepath", "left_anti")
+        if "dest" in story.columns:
+            # per-destination story: subtract completed destinations
+            # from each file's work list AFTER the plan computes them
+            story_dests = story.groupBy("filepath").agg(
+                F.collect_set("dest").alias("_done")
+            )
+        else:
+            lst = lst.join(story.select("filepath").distinct(), "filepath", "left_anti")
 
     if dest_path_mask:
         subdir = render_mask(dest_path_mask, lst.columns)
@@ -217,9 +227,20 @@ def copy_files(
             ]
         )
 
-    plan = lst.select(
-        "filepath", "filesize", dest_col.alias("dests")
-    ).repartition(max(spark.sparkContext.defaultParallelism, 1), "filepath")
+    plan = lst.select("filepath", "filesize", dest_col.alias("dests"))
+    if story_dests is not None:
+        plan = (
+            plan.join(story_dests, "filepath", "left")
+            .withColumn(
+                "dests",
+                F.array_except(
+                    "dests", F.coalesce("_done", F.array().cast("array<string>"))
+                ),
+            )
+            .filter(F.size("dests") > 0)
+            .drop("_done")
+        )
+    plan = plan.repartition(max(spark.sparkContext.defaultParallelism, 1), "filepath")
 
     attempts_n, sleep_s, do_delete = int(number_attempts), float(time_between_attempts), bool(delete_source)
 
@@ -235,11 +256,17 @@ def copy_files(
                 all_ok = True
                 for dest in dests:
                     attempt, err = 0, None
+                    # dot-prefixed temp name: a crash between copy and
+                    # rename leaves '.<name>.__copying_<pid>', which
+                    # no ordinary mask ('{name}.csv', '*.csv') matches,
+                    # so a torn temp is never listed as data; stale
+                    # temps clean up via clean_files(mask='.*__copying_*')
+                    d_dir, d_name = os.path.split(dest)
+                    tmp_dest = os.path.join(d_dir, f".{d_name}.__copying_{os.getpid()}")
                     while attempt < attempts_n:
                         attempt += 1
-                        tmp_dest = f"{dest}.__copying_{os.getpid()}"
                         try:
-                            os.makedirs(os.path.dirname(dest), exist_ok=True)
+                            os.makedirs(d_dir, exist_ok=True)
                             # write-then-rename: a reader (or a crash)
                             # never observes a torn destination file;
                             # os.replace is atomic on one filesystem

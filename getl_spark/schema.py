@@ -166,7 +166,14 @@ def load_getl_schema(path: str) -> tuple[StructType, dict]:
         fields.append(StructField(name, parse_type(typ), not f.get("isNull") is False))
         fmt = f.get("format")
         if fmt and t in ("DATE", "DATETIME", "TIMESTAMP_WITH_TIMEZONE", "TIME", "BOOLEAN", "NUMERIC"):
-            formats[name] = fmt
+            if t in ("DATETIME", "TIMESTAMP_WITH_TIMEZONE"):
+                # getl's ParseDate is lenient (real OGG exports declare
+                # .SSS but carry 6 fraction digits) — schema-file-driven
+                # reads inherit that; hand-written field_formats stay
+                # strict unless the caller opts in
+                formats[name] = {"format": fmt, "lenient": True}
+            else:
+                formats[name] = fmt
     return StructType(fields), formats
 
 

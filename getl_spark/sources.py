@@ -48,14 +48,16 @@ def _formatted_parse_expr(raw, field, spec):
         # timestamp->date cast is parse-free and safe under ANSI
         return F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd")).cast("date")
     if t == "timestamp":
-        # getl's ParseDate is lenient about fractional-second width
-        # (an OGG export declares .SSS but carries 6 digits) — fall
-        # back to Spark's native literal parser when the declared
-        # pattern misses, so real-world exports still load
-        return F.coalesce(
-            F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd HH:mm:ss")),
-            raw.try_cast("timestamp"),
-        )
+        strict = F.try_to_timestamp(raw, F.lit(fmt or "yyyy-MM-dd HH:mm:ss"))
+        if spec.get("lenient"):
+            # getl's ParseDate is lenient about fractional-second width
+            # (an OGG export declares .SSS but carries 6 digits) — with
+            # lenient=True a declared-pattern miss falls back to
+            # Spark's native literal parser. OPT-IN only: by default a
+            # cell violating its declared format stays NULL and lands
+            # in the corrupt-row accounting like every other field.
+            return F.coalesce(strict, raw.try_cast("timestamp"))
+        return strict
     if t == "boolean":
         tok_t, tok_f = (fmt or "1|0").split("|", 1)
         return (
@@ -162,12 +164,17 @@ def read_csv(
     if schema_file is not None:
         # getl autoSchema/schemaFileName: the JSON Field-list file
         # supplies both the schema and the per-field cell formats;
-        # explicit arguments override
+        # explicit arguments override. With an explicit schema the
+        # file's formats are restricted to ITS fields, so projecting a
+        # subset of a wide descriptor works.
         from getl_spark.schema import load_getl_schema
 
         file_schema, file_formats = load_getl_schema(schema_file)
         if schema is None:
             schema = file_schema
+        else:
+            present = set(schema.fieldNames())
+            file_formats = {k: v for k, v in file_formats.items() if k in present}
         file_formats.update(field_formats or {})
         field_formats = file_formats
     fmt_fields = dict(field_formats or {})
@@ -636,8 +643,33 @@ def write_jdbc(
 def _format_to_regex(fmt: str) -> str:
     """Date/number format pattern -> digit-shaped regex (getl generates
     a per-variable pattern from the declared format,
-    utils/Path.groovy:236-280)."""
-    return "".join(r"\d" if ch in "yMdHmsS" else re.escape(ch) for ch in fmt)
+    utils/Path.groovy:236-280). Java-pattern quoted literals are
+    honored: ``yyyy-MM-dd'T'HH:mm`` matches a literal T, and ``''``
+    inside quotes is one quote character."""
+    out, i, n = [], 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "'":
+            j = i + 1
+            lit = []
+            while j < n:
+                if fmt[j] == "'":
+                    if j + 1 < n and fmt[j + 1] == "'":
+                        lit.append("'")
+                        j += 2
+                        continue
+                    break
+                lit.append(fmt[j])
+                j += 1
+            out.append(re.escape("".join(lit) or "'"))  # '' alone == literal quote
+            i = j + 1
+        elif ch in "yMdHmsS":
+            out.append(r"\d")
+            i += 1
+        else:
+            out.append(re.escape(ch))
+            i += 1
+    return "".join(out)
 
 
 _VAR_TYPE_DEFAULT_FMT = {"date": "yyyy-MM-dd", "datetime": "yyyy-MM-dd HH:mm:ss"}
@@ -691,6 +723,12 @@ def apply_mask_var_types(df: DataFrame, names: list[str], var_types: dict | None
             c = F.try_to_timestamp(F.col(n), F.lit(fmt or _VAR_TYPE_DEFAULT_FMT["datetime"]))
         elif t in ("int", "integer", "bigint", "long"):
             c = F.col(n).try_cast("bigint" if t in ("bigint", "long") else "int")
+        elif t == "time":
+            # TIME maps to string (documented decision) but still
+            # VALIDATES: a shape-matching-but-invalid value (99:99:99)
+            # must exclude the path, same as dates
+            valid = F.try_to_timestamp(F.col(n), F.lit(fmt or "HH:mm:ss"))
+            c = F.when(valid.isNotNull(), F.col(n))
         else:
             continue
         df = df.withColumn(n, c).filter(F.col(n).isNotNull())

@@ -100,8 +100,8 @@ def test_cli_copyfiles_with_story(tmp_path):
         "--dest", dest, "--story", story,
     ]
     out1 = _run_cli(args)
-    assert out1["copied"] == 2 and out1["failed"] == 0
+    assert out1["files"] == 2 and out1["copies"] == 2 and out1["failed"] == 0
     assert os.path.exists(os.path.join(dest, "a", "f.csv"))
     # second run: story makes it exactly-once
     out2 = _run_cli(args)
-    assert out2["copied"] == 0 and out2["failed"] == 0
+    assert out2["copies"] == 0 and out2["failed"] == 0

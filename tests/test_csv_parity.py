@@ -108,7 +108,7 @@ def test_getl_schema_file_ogg_style_cdc_load(spark, tmp_path):
         assert dict(zip(names, [f.dataType.simpleString() for f in sch.fields]))[
             "scn"
         ] == "bigint"
-        assert fmts["timestamp"] == "yyyy-MM-dd HH:mm:ss.SSS"
+        assert fmts["timestamp"] == {"format": "yyyy-MM-dd HH:mm:ss.SSS", "lenient": True}
 
     # self-contained mini descriptor in the same format
     schema_file = str(tmp_path / "cdc.dsv.schema")
@@ -165,4 +165,9 @@ def test_getl_schema_file_save_load_roundtrip(tmp_path):
     ]
     assert back.fieldNames() == [n.lower() for n in sch.fieldNames()]
     assert back["name"].nullable is False and back["id"].nullable is True
-    assert back_fmts == fmts
+    # datetime formats come back lenient (getl ParseDate semantics)
+    assert back_fmts == {
+        "d": "dd/MM/yyyy",
+        "ts": {"format": "yyyy-MM-dd HH:mm:ss.SSS", "lenient": True},
+        "ok": "Y|N",
+    }

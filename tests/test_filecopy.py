@@ -226,3 +226,63 @@ def test_typed_mask_vars_in_read(spark, tmp_path):
     assert len(rows) == 1  # month-13 path excluded
     assert str(rows[0].d) == "2024-01-05" and rows[0].n == 1
     assert dict(df.dtypes)["d"] == "date" and dict(df.dtypes)["n"] == "int"
+
+
+def test_per_destination_story_retries_only_failed_dest(spark, tmp_path):
+    """A story with a dest column skips per (file, destination): after
+    a partial multi-destination failure, the rerun copies exactly the
+    missing destination and never re-copies the succeeded one."""
+    src = tmp_path / "s"
+    (src / "r").mkdir(parents=True)
+    (src / "r" / "f.csv").write_text("x\n")
+    good, blocked = str(tmp_path / "good"), tmp_path / "blocked"
+    blocked.write_text("not a dir")  # second destination cannot be created
+    res1 = copy_files(
+        spark, str(src), "{r}/f.csv", [good, str(blocked / "sub")],
+        number_attempts=1,
+    )
+    pdf1 = res1.toPandas()
+    assert pdf1["ok"].sum() == 1 and (~pdf1["ok"]).sum() == 1
+    story = res1.filter(F.col("ok")).select("filepath", "dest")
+
+    # unblock the second destination, rerun with the per-dest story
+    os.remove(str(blocked))
+    # watch for re-copy of the good dest: remove it — a filepath-only
+    # story would skip the whole file; per-dest must retry ONLY blocked
+    res2 = copy_files(
+        spark, str(src), "{r}/f.csv", [good, str(blocked / "sub")], story=story
+    )
+    pdf2 = res2.toPandas()
+    assert len(pdf2) == 1 and pdf2["ok"].all()
+    assert "blocked" in pdf2["dest"].iloc[0]
+    assert os.path.exists(os.path.join(str(blocked / "sub"), "r", "f.csv"))
+
+
+def test_typed_mask_quoted_literal_format(spark, tmp_path):
+    """A Java-pattern quoted literal ('T') in a typed mask variable's
+    format matches the literal character in the path."""
+    base = tmp_path / "q"
+    for d in ("2024-01-05T10:30", "2024-01-05 10:30"):
+        (base / d).mkdir(parents=True)
+        (base / d / "f.csv").write_text("x\n")
+    lst = list_files(
+        spark, str(base), "{ts}/f.csv",
+        var_types={"ts": ("datetime", "yyyy-MM-dd'T'HH:mm")},
+    ).toPandas()
+    assert len(lst) == 1
+    assert str(lst["ts"].iloc[0]) == "2024-01-05 10:30:00"
+
+
+def test_typed_mask_time_validates(spark, tmp_path):
+    base = tmp_path / "t"
+    for d in ("10:30:56", "99:99:99"):
+        (base / d.replace(":", "_")).mkdir(parents=True)
+    # ':' is awkward in paths on some FS; use '.' separated time format
+    base2 = tmp_path / "t2"
+    for d in ("10.30.56", "99.99.99"):
+        (base2 / d).mkdir(parents=True)
+        (base2 / d / "f.csv").write_text("x\n")
+    lst = list_files(
+        spark, str(base2), "{t}/f.csv", var_types={"t": ("time", "HH.mm.ss")}
+    ).toPandas()
+    assert list(lst["t"]) == ["10.30.56"]  # stays string, invalid excluded
