@@ -43,7 +43,14 @@ BASE = {
 VOCAB = (
     "spark line column order small sort fast value scan batch part a the "
     "query agg table hash big merge group stream filter key join vector "
-    "slow customer cache shuffle plan skew salt codec page row disk"
+    "slow customer cache shuffle plan skew salt codec page row disk "
+    "driver executor stage task broadcast exchange codegen predicate prune "
+    "bucket manifest snapshot commit epoch lineage watermark checkpoint "
+    "tombstone delta compact orphan segment shard replica quorum ledger "
+    "vectorized arrow pandas parquet footer stats bloom dictionary rle "
+    "grammar token corpus shingle winnow fingerprint jaccard cosine "
+    "cluster centroid probe recall precision latency throughput spill "
+    "memory buffer pool heap offload tier cold warm hot fresh stale"
 ).split()
 
 
@@ -181,7 +188,12 @@ def main() -> None:
     dim, k = 64, 10
     centroids = rng.normal(0, 1, (k, dim))
     labels = rng.integers(0, k, nv)
-    vecs = centroids[labels] * 0.3 + rng.normal(0, 0.15, (nv, dim))
+    # noise comparable to the cluster signal: in-cluster cosine ~0.45,
+    # so clusters shape ANN recall without every in-cluster pair being
+    # a near-duplicate (0.15 noise made cos~0.8 and turned the sf1
+    # near-dup sweep into an n^2-positives stress test — which passed,
+    # but is not a realistic corpus)
+    vecs = centroids[labels] * 0.3 + rng.normal(0, 0.32, (nv, dim))
     # seed exact-scale near-dups: every 200th vector is a tiny
     # perturbation of its predecessor (embedding near-dup positives)
     for i in range(1, nv, 200):
