@@ -623,3 +623,18 @@ def test_tz_roundtrip_property(spark):
     ).select("s", temporal.tz_format("p.instant", "p.tz_offset_min").alias("rt")).collect()
     bad = [(r.s, r.rt) for r in out if r.s != r.rt]
     assert not bad, f"round-trip failures: {bad[:5]}"
+
+
+def test_ivf_topk_plan_is_cell_probe_not_scan(spark):
+    """Scale guard: the IVF candidate join is an equi-join on the cell
+    id (probe reads n_probe/n_centroids of the corpus) — never a
+    cartesian/nested-loop scan of the corpus per query."""
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.0]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    top = simsearch.ivf_topk(
+        vecs, vecs.filter("vec_id < 2"), k=3, dim=4, n_centroids=4, n_probe=2
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
