@@ -54,16 +54,22 @@ def list_files(
     base_dir: str,
     mask: str = "*",
     var_types: dict | None = None,
+    fanout_depth: int = 2,
 ) -> DataFrame:
     """Distributed file listing with getl's typed mask variables.
 
-    First-level entries of ``base_dir`` are parallelized; each task
-    walks its subtree (os.walk) and emits one row per file matching the
-    compiled mask regex. Columns: the getl built-ins (filepath,
-    filename, filenameonly, fileextonly, filedate, filesize, relpath)
-    plus one column per ``{var}`` in the mask — string by default,
-    typed (with non-parsing paths excluded) when ``var_types`` declares
-    a type/format, mirroring ``Path.variable`` + buildList filtering.
+    Directories down to ``fanout_depth`` levels are enumerated on the
+    driver (cheap listdirs) and parallelized; each task either lists
+    one directory's direct files or walks one depth-``fanout_depth``
+    subtree (os.walk) — so a tree whose data concentrates under one
+    first-level directory still fans out across executors instead of
+    serializing on a single straggler task. Emits one row per file
+    matching the compiled mask regex. Columns: the getl built-ins
+    (filepath, filename, filenameonly, fileextonly, filedate,
+    filesize, relpath) plus one column per ``{var}`` in the mask —
+    string by default, typed (with non-parsing paths excluded) when
+    ``var_types`` declares a type/format, mirroring ``Path.variable``
+    + buildList filtering.
     """
     import pandas as pd
 
@@ -73,10 +79,30 @@ def list_files(
     rx = re.compile(pattern + "$")
     base = os.path.abspath(base_dir)
 
-    tops = sorted(os.listdir(base)) if os.path.isdir(base) else []
-    roots = [""] + [t for t in tops if os.path.isdir(os.path.join(base, t))]
+    # (relpath, mode): "files" rows list one dir's direct files;
+    # "tree" rows own a whole subtree. Levels above the fan-out depth
+    # become files-only rows so no file is listed twice.
+    roots: list[tuple[str, str]] = [("", "files")]
+    frontier = [""]
+    for lvl in range(max(int(fanout_depth), 1)):
+        nxt: list[str] = []
+        for r in frontier:
+            d = os.path.join(base, r) if r else base
+            if not os.path.isdir(d):
+                continue
+            subs = [
+                (os.path.join(r, e) if r else e)
+                for e in sorted(os.listdir(d))
+                if os.path.isdir(os.path.join(d, e))
+            ]
+            if lvl < fanout_depth - 1:
+                roots += [(s, "files") for s in subs]
+                nxt += subs
+            else:
+                roots += [(s, "tree") for s in subs]
+        frontier = nxt
     roots_df = spark.createDataFrame(
-        [(r,) for r in roots], "root string"
+        roots, "root string, mode string"
     ).repartition(max(len(roots), 1))
 
     schema = parse_ddl(LIST_SCHEMA_DDL)
@@ -87,15 +113,15 @@ def list_files(
     def walk(batches):
         for pdf in batches:
             rows = []
-            for root in pdf["root"]:
+            for root, mode in zip(pdf["root"], pdf["mode"]):
                 top = os.path.join(base, root) if root else base
-                if root == "":
-                    # the driver row covers only files DIRECTLY in base
-                    entries = (
-                        [(base, [], [e for e in os.listdir(base)
-                                     if os.path.isfile(os.path.join(base, e))])]
-                        if os.path.isdir(base) else []
-                    )
+                if not os.path.isdir(top):
+                    continue
+                if mode == "files":
+                    entries = [
+                        (top, [], [e for e in os.listdir(top)
+                                   if os.path.isfile(os.path.join(top, e))])
+                    ]
                 else:
                     entries = os.walk(top)
                 for dirpath, _dirs, files in entries:

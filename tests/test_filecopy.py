@@ -286,3 +286,25 @@ def test_typed_mask_time_validates(spark, tmp_path):
         spark, str(base2), "{t}/f.csv", var_types={"t": ("time", "HH.mm.ss")}
     ).toPandas()
     assert list(lst["t"]) == ["10.30.56"]  # stays string, invalid excluded
+
+
+def test_list_files_deep_fanout_partitions_one_hot_subtree(spark, tmp_path):
+    """A tree whose files all live under ONE first-level directory must
+    still produce multiple independent walk roots (the straggler-task
+    guard), and deeper/shallower fan-outs list identical files."""
+    base = tmp_path / "hot"
+    for i in range(6):
+        d = base / "bigrepo" / f"part{i}"
+        d.mkdir(parents=True)
+        (d / "f.csv").write_text("x\n")
+    (base / "bigrepo" / "direct.csv").write_text("x\n")
+    (base / "top.csv").write_text("x\n")
+
+    deep = list_files(spark, str(base), "*", fanout_depth=2).toPandas()
+    shallow = list_files(spark, str(base), "*", fanout_depth=1).toPandas()
+    assert sorted(deep["relpath"]) == sorted(shallow["relpath"])
+    # '*' doesn't cross '/': only the two direct-level matches... at
+    # their respective roots; use a crossing mask for the full set
+    deep_all = list_files(spark, str(base), "{a}/{b}/f.csv", fanout_depth=2).toPandas()
+    assert len(deep_all) == 6
+    assert set(deep_all["a"]) == {"bigrepo"} and len(set(deep_all["b"])) == 6
