@@ -331,15 +331,25 @@ def _run_eager(df: DataFrame) -> DataFrame:
 
     A lazy return would (a) do nothing until the caller happens to run
     an action and (b) redo every copy/delete on each subsequent action
-    (mapInPandas re-executes per job). Persist + materialize pins the
-    results: the I/O runs once, later actions read the cache, and the
-    status stays distributed (never collected to the driver — a
-    million-file run returns a million status rows)."""
-    from pyspark.storagelevel import StorageLevel
+    (mapInPandas re-executes per job). The results are written to a
+    DURABLE temp parquet dir and the return value is a read of that:
+    persist() would pin them too, but a lost cache block (executor
+    death) silently recomputes — and recomputing a copy/delete after
+    delete_source already removed the files re-reports moved files as
+    failures. A parquet read can only ever re-read bytes, never re-run
+    the I/O. The status stays distributed (never collected to the
+    driver — a million-file run returns a million status rows)."""
+    import atexit
+    import shutil
+    import tempfile
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    return out
+    spark = df.sparkSession
+    out_dir = tempfile.mkdtemp(prefix="getl_spark_filestatus_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    df.write.mode("overwrite").parquet(out_dir)
+    # explicit schema: an all-skipped run writes zero part files and a
+    # bare read of the empty dir cannot infer one
+    return spark.read.schema(df.schema).parquet(out_dir)
 
 
 def process_files(

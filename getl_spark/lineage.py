@@ -59,14 +59,19 @@ class LineageRecorder:
         # numbers would have collided otherwise), so the first pipeline
         # to touch it post-upgrade passes its own name and keeps its
         # metrics history continuous.
+        # gate on NULL presence, not column absence: a warehouse
+        # upgraded under a revision that added the column WITHOUT
+        # backfilling already has NULL legacy rows, and metrics()/crash
+        # repair filter on pipeline == name — unbackfilled NULLs would
+        # be permanently invisible and never repaired.
         if "pipeline" not in self.table.schema().fieldNames():
             self.table.add_column("pipeline", "string")
-            existing = self.table.read_pandas()
-            if len(existing):
-                existing["pipeline"] = existing["pipeline"].fillna(legacy_owner)
-                self.table.overwrite_pandas(
-                    existing, {"backfill": f"pipeline<-{legacy_owner} (legacy rows)"}
-                )
+        existing = self.table.read_pandas()
+        if len(existing) and existing["pipeline"].isna().any():
+            existing["pipeline"] = existing["pipeline"].fillna(legacy_owner)
+            self.table.overwrite_pandas(
+                existing, {"backfill": f"pipeline<-{legacy_owner} (legacy rows)"}
+            )
         # pre-round-4 tables called this column apply_latency_ms, but
         # the value has always been the WHOLE-EPOCH apply latency
         # (copied onto every bucket row) — renamed so the name claims

@@ -172,9 +172,38 @@ def load_getl_schema(path: str) -> tuple[StructType, dict]:
                 # reads inherit that; hand-written field_formats stay
                 # strict unless the caller opts in
                 formats[name] = {"format": fmt, "lenient": True}
+            elif t == "NUMERIC":
+                formats[name] = _numeric_format_spec(name, fmt)
             else:
                 formats[name] = fmt
     return StructType(fields), formats
+
+
+def _numeric_format_spec(name: str, fmt: str) -> dict:
+    """Translate a getl NUMERIC format (java.text.DecimalFormat
+    pattern, e.g. ``#,##0.00``) into the separator spec the CSV reader
+    honors. In a DecimalFormat PATTERN the grouping char is always
+    ``,`` and the decimal char always ``.`` (locale substitutes actual
+    characters at runtime; getl uses the root locale, so the pattern
+    chars ARE the cell chars). A pattern outside the plain
+    digits/grouping/decimal shape (currency, percent, exponents,
+    per-mille, prefixes) raises instead of silently NULLing every cell
+    into the corrupt-row accounting."""
+    import re as _re
+
+    if not _re.fullmatch(r"[#0]+(,[#0]+)*(\.[#0]+)?", fmt):
+        raise ValueError(
+            f"getl schema field '{name}': unsupported NUMERIC format "
+            f"{fmt!r} — only digit/grouping/decimal DecimalFormat "
+            "patterns (like '#,##0.00') are supported; parsing with an "
+            "ignored format would silently corrupt rows"
+        )
+    spec: dict = {"format": fmt}
+    if "," in fmt:
+        spec["grouping_separator"] = ","
+    if "." in fmt:
+        spec["decimal_separator"] = "."
+    return spec
 
 
 def save_getl_schema(

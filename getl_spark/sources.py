@@ -67,9 +67,13 @@ def _formatted_parse_expr(raw, field, spec):
         )
     if t in ("decimal", "double", "float", "integer", "long", "short", "byte"):
         v = raw
+        grp_sep = spec.get("grouping_separator")
+        if grp_sep is None and dec_sep and dec_sep != ".":
+            # '1.234,56' style: the grouping char is implicitly '.'
+            grp_sep = "."
+        if grp_sep:
+            v = F.translate(v, grp_sep, "")
         if dec_sep and dec_sep != ".":
-            # '1.234,56' style: strip grouping dots, then ',' -> '.'
-            v = F.translate(v, ".", "")
             v = F.regexp_replace(v, re.escape(dec_sep), ".")
         return v.try_cast(field.dataType)
     if t == "string":
@@ -95,9 +99,21 @@ def _formatted_write_expr(col, field, spec):
         tok_t, tok_f = (fmt or "1|0").split("|", 1)
         return F.when(col, F.lit(tok_t)).when(~col, F.lit(tok_f))
     if t in ("decimal", "double", "float", "integer", "long", "short", "byte"):
-        s = col.cast("string")
-        if dec_sep and dec_sep != ".":
-            s = F.regexp_replace(s, r"\.", re.escape(dec_sep))
+        grp_sep = spec.get("grouping_separator")
+        if grp_sep:
+            # DecimalFormat-style grouped output: format_number emits
+            # ',' grouping + '.' decimal with the fraction width fixed
+            # to the pattern's post-decimal digit count; one translate
+            # maps both separator chars simultaneously (',' and '.'
+            # can swap roles without clobbering each other)
+            frac = len(fmt.split(".", 1)[1]) if fmt and "." in fmt else 0
+            s = F.translate(
+                F.format_number(col, frac), ",.", grp_sep + (dec_sep or ".")
+            )
+        else:
+            s = col.cast("string")
+            if dec_sep and dec_sep != ".":
+                s = F.regexp_replace(s, r"\.", re.escape(dec_sep))
         return s
     raise ValueError(
         f"field_formats: unsupported source type {field.dataType.simpleString()} "

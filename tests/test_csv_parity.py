@@ -171,3 +171,53 @@ def test_getl_schema_file_save_load_roundtrip(tmp_path):
         "ts": {"format": "yyyy-MM-dd HH:mm:ss.SSS", "lenient": True},
         "ok": "Y|N",
     }
+
+
+def test_getl_schema_numeric_format_grouped_parse(spark, tmp_path):
+    """ADVICE r4: a getl .schema NUMERIC format like '#,##0.00' must
+    actually drive the parse (strip grouping separators) instead of
+    being recorded and ignored — ignored, '1,234.56' NULLed out and
+    was miscounted as a corrupt row."""
+    import json
+
+    from getl_spark.schema import load_getl_schema
+    from getl_spark.sources import read_csv, write_csv
+
+    sp = tmp_path / "n.schema"
+    sp.write_text(json.dumps({"fields": [
+        {"name": "id", "type": "INTEGER"},
+        {"name": "amt", "type": "NUMERIC", "length": 12, "precision": 2,
+         "format": "#,##0.00"},
+    ]}))
+    sch, fmts = load_getl_schema(str(sp))
+    assert fmts["amt"]["grouping_separator"] == ","
+    csv = tmp_path / "n.csv"
+    csv.write_text('id,amt\n1,"1,234.56"\n2,"12.00"\n')
+    df = read_csv(spark, str(csv), schema=sch, field_formats=fmts)
+    got = {r["id"]: str(r["amt"]) for r in df.collect()}
+    assert got == {1: "1234.56", 2: "12.00"}
+    # write side round-trips the grouped shape
+    out = tmp_path / "out"
+    write_csv(df, str(out), field_formats=fmts)
+    body = "".join(
+        p.read_text() for p in out.glob("*.csv")
+    )
+    assert "1,234.56" in body
+
+
+def test_getl_schema_numeric_format_unsupported_raises(tmp_path):
+    """An exotic DecimalFormat pattern (currency/percent) raises at
+    load time instead of silently corrupting every cell."""
+    import json
+
+    import pytest
+
+    from getl_spark.schema import load_getl_schema
+
+    sp = tmp_path / "bad.schema"
+    sp.write_text(json.dumps({"fields": [
+        {"name": "amt", "type": "NUMERIC", "length": 10, "precision": 2,
+         "format": "¤#,##0.00"},
+    ]}))
+    with pytest.raises(ValueError, match="unsupported NUMERIC format"):
+        load_getl_schema(str(sp))

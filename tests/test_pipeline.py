@@ -538,3 +538,35 @@ def test_schema_policy_merge_in_mor_mode(spark, tmp_warehouse, event_df, oracle_
     assert pdf.loc[pdf["_seq"] <= 2000, "stars"].isna().all()
     assert (pdf.loc[pdf["_seq"] > 2000, "stars"] == pdf.loc[pdf["_seq"] > 2000, "_seq"] % 5).all()
     assert_final_state_matches(state.drop("_epoch", "stars").toPandas(), oracle_final)
+
+
+def test_lineage_null_pipeline_rows_backfill_even_when_column_exists(
+    spark, tmp_warehouse
+):
+    """ADVICE r4: a warehouse upgraded under a revision that ADDED the
+    pipeline column without backfilling has NULL legacy rows; the
+    backfill must gate on NULL presence, not column absence — else
+    those rows are invisible to metrics() forever."""
+    import pandas as pd
+
+    from getl_spark.lake import LakeCatalog, PartitionSpec
+    from getl_spark.lineage import LINEAGE_SCHEMA, LineageRecorder
+
+    cat = LakeCatalog(tmp_warehouse)
+    t = cat.create_table("_lineage", LINEAGE_SCHEMA, PartitionSpec.none())
+    t.append_pandas(
+        pd.DataFrame(
+            [
+                {"epoch": 0, "partition_id": 0, "seq_min": 1, "seq_max": 5,
+                 "event_count": 5, "bytes": 50, "epoch_latency_ms": 7,
+                 "pipeline": None},
+                {"epoch": 1, "partition_id": 0, "seq_min": 6, "seq_max": 9,
+                 "event_count": 4, "bytes": 40, "epoch_latency_ms": 8,
+                 "pipeline": "other"},
+            ]
+        ),
+        {"epoch": 0},
+    )
+    rec = LineageRecorder(cat, legacy_owner="tail")
+    pdf = rec.read_pandas().sort_values("epoch")
+    assert list(pdf["pipeline"]) == ["tail", "other"]  # NULL healed, named kept
