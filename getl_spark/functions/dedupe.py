@@ -573,10 +573,20 @@ def simhash_duplicates(
     band_bits: int = 16,
     hash_fn: str = "xxhash64",
     max_bucket: int | None = None,
+    hamming_k: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs whose SimHash matches on any band
+    """Near-dup pairs whose SimHash matches on any band
     (Hamming-distance bucketing). ``max_bucket`` drops degenerate
-    buckets (see _cap_buckets)."""
+    buckets (see _cap_buckets).
+
+    ``hamming_k`` adds the VERIFY stage: a pair matching one band can
+    still differ in every other bit, so candidates are filtered on
+    whole-signature Hamming distance ``bit_count(a ^ b) <= hamming_k``
+    — then the output means what the operator's name says (pairs
+    within Hamming k), not merely band-collision candidates. The
+    signatures ride along the band explode (8 bytes/row), so the
+    verify is a codegen filter on the join output — no second join,
+    no extra shuffle. ``None`` keeps the candidate-only behavior."""
     if hash_fn == "sha256":
         total_bits, band_bits = 60, min(band_bits, 15)
     else:
@@ -586,6 +596,7 @@ def simhash_duplicates(
     mask = (1 << band_bits) - 1
     banded = sig.select(
         id_col,
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -599,16 +610,21 @@ def simhash_duplicates(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_val")
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
     banded = _cap_buckets(banded, ["band_id", "band_val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if hamming_k is not None:
+        cond = cond & (
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= F.lit(int(hamming_k))
         )
+    return (
+        a.join(b, cond)
         .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
     )

