@@ -62,6 +62,12 @@ def main(argv=None):
         "--var", action="append", default=[], metavar="NAME=VALUE",
         help="external variable (repeatable)",
     )
+    script.add_argument(
+        "--config", action="append", default=[], metavar="FILE[;FILE...]",
+        help="JSON config file(s) naming vars/connections/tables "
+        "(getl ConfigFiles); tables register as views, config vars "
+        "merge under --var",
+    )
 
     cpf = sub.add_parser(
         "copyfiles",
@@ -81,6 +87,16 @@ def main(argv=None):
         "--story", default=None,
         help="parquet dir of previous runs' results; copied files are "
         "skipped and this run's successes are appended",
+    )
+    cpf.add_argument(
+        "--src-manager", default=None,
+        help='source filesystem manager spec as JSON, e.g. '
+        '\'{"type": "sftp", "host": "landing.example", "user": "etl"}\' '
+        "(default: local)",
+    )
+    cpf.add_argument(
+        "--dest-manager", default=None,
+        help="destination filesystem manager spec as JSON (default: local)",
     )
 
     comp = sub.add_parser(
@@ -220,6 +236,13 @@ def main(argv=None):
         if bad:
             p.error(f"--var expects NAME=VALUE, got: {', '.join(bad)}")
         ext = dict(v.split("=", 1) for v in args.var)
+        if args.config:
+            from getl_spark.config import ConfigRegistry
+
+            reg = ConfigRegistry.load(*args.config, ext_vars=ext)
+            reg.register(spark)
+            # config vars are visible to the script; explicit --var wins
+            ext = {**{k: str(v) for k, v in reg.vars.items()}, **ext}
         sc = SQLScripter(spark, ext_vars=ext, catalog=cat)
         sc.load_file(args.file)
         sc.run()
@@ -250,6 +273,8 @@ def main(argv=None):
             delete_source=args.move,
             number_attempts=args.attempts,
             story=story_df,
+            src_manager=json.loads(args.src_manager) if args.src_manager else None,
+            dest_manager=json.loads(args.dest_manager) if args.dest_manager else None,
         )
         ok = res.filter(F.col("ok"))
         n_copies, n_fail = ok.count(), res.filter(~F.col("ok")).count()

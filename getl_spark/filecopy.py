@@ -20,6 +20,14 @@ destination list), so delete-after-copy (move semantics) is safe per
 task with no cross-task coordination. Results come back as a status
 DataFrame — feed it to a story table for exactly-once reruns.
 
+Remote filesystems: every operation goes through the
+:mod:`getl_spark.fsmanagers` protocol (getl's files/Manager family —
+local POSIX, pyarrow-backed HDFS, FTP, SFTP). Pass picklable manager
+SPECS (``src_manager`` / ``dest_manager`` / ``manager`` dicts); each
+executor task builds its own connection from the spec — live handles
+never cross the closure boundary, and a local->SFTP or HDFS->local
+move is the same two-spec plan.
+
 This is per-partition imperative I/O — the one place the brief allows
 mapInPandas over imperative logic, because no Catalyst operator moves
 bytes between filesystems.
@@ -28,11 +36,13 @@ bytes between filesystems.
 from __future__ import annotations
 
 import os
+import posixpath
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from getl_spark.fsmanagers import LocalFileManager, build_manager
 from getl_spark.schema import parse_ddl
 from getl_spark.sources import mask_to_regex
 
@@ -49,27 +59,40 @@ COPY_RESULT_DDL = (
 )
 
 
+def _norm_base(base_dir: str, manager: dict | None) -> str:
+    """Local managers address OS paths (abspath keeps the historical
+    contract); remote managers address their own namespace verbatim."""
+    if manager is None or manager.get("type", "local") == "local":
+        return os.path.abspath(base_dir)
+    return base_dir.rstrip("/")
+
+
 def list_files(
     spark: SparkSession,
     base_dir: str,
     mask: str = "*",
     var_types: dict | None = None,
     fanout_depth: int = 2,
+    manager: dict | None = None,
 ) -> DataFrame:
     """Distributed file listing with getl's typed mask variables.
 
     Directories down to ``fanout_depth`` levels are enumerated on the
     driver (cheap listdirs) and parallelized; each task either lists
     one directory's direct files or walks one depth-``fanout_depth``
-    subtree (os.walk) — so a tree whose data concentrates under one
-    first-level directory still fans out across executors instead of
-    serializing on a single straggler task. Emits one row per file
-    matching the compiled mask regex. Columns: the getl built-ins
-    (filepath, filename, filenameonly, fileextonly, filedate,
-    filesize, relpath) plus one column per ``{var}`` in the mask —
-    string by default, typed (with non-parsing paths excluded) when
-    ``var_types`` declares a type/format, mirroring ``Path.variable``
-    + buildList filtering.
+    subtree — so a tree whose data concentrates under one first-level
+    directory still fans out across executors instead of serializing
+    on a single straggler task. Emits one row per file matching the
+    compiled mask regex. Columns: the getl built-ins (filepath,
+    filename, filenameonly, fileextonly, filedate, filesize, relpath)
+    plus one column per ``{var}`` in the mask — string by default,
+    typed (with non-parsing paths excluded) when ``var_types``
+    declares a type/format, mirroring ``Path.variable`` + buildList
+    filtering.
+
+    ``manager`` is an fsmanagers spec dict (None = local POSIX); each
+    walker task opens its own connection, so a remote landing zone is
+    listed by N independent sessions, not one serial crawler.
     """
     import pandas as pd
 
@@ -77,30 +100,33 @@ def list_files(
 
     pattern, names = mask_to_regex(mask, var_types)
     rx = re.compile(pattern + "$")
-    base = os.path.abspath(base_dir)
+    base = _norm_base(base_dir, manager)
 
     # (relpath, mode): "files" rows list one dir's direct files;
     # "tree" rows own a whole subtree. Levels above the fan-out depth
     # become files-only rows so no file is listed twice.
     roots: list[tuple[str, str]] = [("", "files")]
-    frontier = [""]
-    for lvl in range(max(int(fanout_depth), 1)):
-        nxt: list[str] = []
-        for r in frontier:
-            d = os.path.join(base, r) if r else base
-            if not os.path.isdir(d):
-                continue
-            subs = [
-                (os.path.join(r, e) if r else e)
-                for e in sorted(os.listdir(d))
-                if os.path.isdir(os.path.join(d, e))
-            ]
-            if lvl < fanout_depth - 1:
-                roots += [(s, "files") for s in subs]
-                nxt += subs
-            else:
-                roots += [(s, "tree") for s in subs]
-        frontier = nxt
+    with build_manager(manager) as mgr:
+        frontier = [""]
+        for lvl in range(max(int(fanout_depth), 1)):
+            nxt: list[str] = []
+            for r in frontier:
+                d = mgr.join(base, r) if r else base
+                try:
+                    entries = mgr.list_dir(d)
+                except (FileNotFoundError, NotADirectoryError, OSError):
+                    continue
+                subs = [
+                    (mgr.join(r, e.name) if r else e.name)
+                    for e in sorted(entries, key=lambda x: x.name)
+                    if e.is_dir
+                ]
+                if lvl < fanout_depth - 1:
+                    roots += [(s, "files") for s in subs]
+                    nxt += subs
+                else:
+                    roots += [(s, "tree") for s in subs]
+            frontier = nxt
     roots_df = spark.createDataFrame(
         roots, "root string, mode string"
     ).repartition(max(len(roots), 1))
@@ -109,47 +135,47 @@ def list_files(
     for n in names:
         schema = schema.add(n, "string")
     out_cols = [f.name for f in schema.fields]
+    mgr_spec = manager
 
     def walk(batches):
-        for pdf in batches:
-            rows = []
-            for root, mode in zip(pdf["root"], pdf["mode"]):
-                top = os.path.join(base, root) if root else base
-                if not os.path.isdir(top):
-                    continue
-                if mode == "files":
-                    entries = [
-                        (top, [], [e for e in os.listdir(top)
-                                   if os.path.isfile(os.path.join(top, e))])
-                    ]
-                else:
-                    entries = os.walk(top)
-                for dirpath, _dirs, files in entries:
-                    for fn in files:
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.relpath(full, base)
-                        m = rx.fullmatch(rel)
-                        if not m:
-                            continue
-                        st = os.stat(full)
-                        only, _, ext = fn.rpartition(".")
-                        if not only:
-                            only, ext = fn, ""
-                        row = {
-                            "filepath": full,
-                            "filename": fn,
-                            "filenameonly": only,
-                            "fileextonly": ext,
-                            # floor to us: Spark timestamps are
-                            # microsecond precision and Arrow refuses
-                            # a lossy ns->us cast
-                            "filedate": pd.Timestamp(st.st_mtime, unit="s").floor("us"),
-                            "filesize": int(st.st_size),
-                            "relpath": rel,
-                        }
-                        row.update(dict(zip(names, m.groups())))
-                        rows.append(row)
-            yield pd.DataFrame(rows, columns=out_cols)
+        with build_manager(mgr_spec) as m:
+            rel_fn = os.path.relpath if isinstance(m, LocalFileManager) else posixpath.relpath
+            for pdf in batches:
+                rows = []
+                for root, mode in zip(pdf["root"], pdf["mode"]):
+                    top = m.join(base, root) if root else base
+                    try:
+                        if mode == "files":
+                            entries = [(top, [e for e in m.list_dir(top) if not e.is_dir])]
+                        else:
+                            entries = m.walk(top)
+                    except (FileNotFoundError, NotADirectoryError, OSError):
+                        continue
+                    for dirpath, files in entries:
+                        for fe in files:
+                            full = m.join(dirpath, fe.name) if dirpath else fe.name
+                            rel = rel_fn(full, base) if base else full
+                            mrx = rx.fullmatch(rel)
+                            if not mrx:
+                                continue
+                            only, _, ext = fe.name.rpartition(".")
+                            if not only:
+                                only, ext = fe.name, ""
+                            row = {
+                                "filepath": full,
+                                "filename": fe.name,
+                                "filenameonly": only,
+                                "fileextonly": ext,
+                                # floor to us: Spark timestamps are
+                                # microsecond precision and Arrow refuses
+                                # a lossy ns->us cast
+                                "filedate": pd.Timestamp(fe.mtime, unit="s").floor("us"),
+                                "filesize": int(fe.size),
+                                "relpath": rel,
+                            }
+                            row.update(dict(zip(names, mrx.groups())))
+                            rows.append(row)
+                yield pd.DataFrame(rows, columns=out_cols)
 
     return apply_mask_var_types(roots_df.mapInPandas(walk, schema), names, var_types)
 
@@ -189,6 +215,8 @@ def copy_files(
     time_between_attempts: float = 0.1,
     story: DataFrame | None = None,
     files: DataFrame | None = None,
+    src_manager: dict | None = None,
+    dest_manager: dict | None = None,
 ) -> DataFrame:
     """Copy (or move, ``delete_source=True``) every file matching
     ``mask`` under ``base_dir``.
@@ -212,10 +240,20 @@ def copy_files(
 
     Returns one row per (file, destination): COPY_RESULT_DDL. Persist
     the ``ok`` rows into your story table to complete the loop.
+
+    ``src_manager``/``dest_manager`` are fsmanagers spec dicts (None =
+    local POSIX); destination paths are in the DEST manager's
+    namespace, so local->SFTP, HDFS->local and FTP->FTP moves are the
+    same plan with different specs. All destinations share one dest
+    manager per task.
     """
     if not destinations:
         raise ValueError("at least one destination is required")
-    lst = files if files is not None else list_files(spark, base_dir, mask)
+    lst = (
+        files
+        if files is not None
+        else list_files(spark, base_dir, mask, manager=src_manager)
+    )
     story_dests = None
     if story is not None:
         if "dest" in story.columns:
@@ -269,59 +307,50 @@ def copy_files(
     plan = plan.repartition(max(spark.sparkContext.defaultParallelism, 1), "filepath")
 
     attempts_n, sleep_s, do_delete = int(number_attempts), float(time_between_attempts), bool(delete_source)
+    src_spec, dst_spec = src_manager, dest_manager
 
     def execute(batches):
-        import shutil
         import time as _t
 
         import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            for fp, size, dests in zip(pdf["filepath"], pdf["filesize"], pdf["dests"]):
-                all_ok = True
-                for dest in dests:
-                    attempt, err = 0, None
-                    # dot-prefixed temp name: a crash between copy and
-                    # rename leaves '.<name>.__copying_<pid>', which
-                    # no ordinary mask ('{name}.csv', '*.csv') matches,
-                    # so a torn temp is never listed as data; stale
-                    # temps clean up via clean_files(mask='.*__copying_*')
-                    d_dir, d_name = os.path.split(dest)
-                    tmp_dest = os.path.join(d_dir, f".{d_name}.__copying_{os.getpid()}")
-                    while attempt < attempts_n:
-                        attempt += 1
-                        try:
-                            os.makedirs(d_dir, exist_ok=True)
-                            # write-then-rename: a reader (or a crash)
-                            # never observes a torn destination file;
-                            # os.replace is atomic on one filesystem
-                            shutil.copy2(fp, tmp_dest)
-                            os.replace(tmp_dest, dest)
-                            err = None
-                            break
-                        except OSError as e:  # transient FS errors retry
-                            err = f"{type(e).__name__}: {e}"
+        # one connection pair per task (reference: FileCopier's
+        # per-thread manager clones); the copy itself is
+        # write-to-dot-temp + rename in EVERY backend, so a reader (or
+        # a crash) never observes a torn destination file. Stale temps
+        # ('.<name>.__copying_<pid>') match no ordinary mask and clean
+        # up via clean_files(mask='.*__copying_*').
+        with build_manager(src_spec) as src, build_manager(dst_spec) as dst:
+            for pdf in batches:
+                rows = []
+                for fp, size, dests in zip(pdf["filepath"], pdf["filesize"], pdf["dests"]):
+                    all_ok = True
+                    for dest in dests:
+                        attempt, err = 0, None
+                        while attempt < attempts_n:
+                            attempt += 1
                             try:
-                                os.remove(tmp_dest)
-                            except OSError:
-                                pass
-                            if attempt < attempts_n:
-                                _t.sleep(sleep_s)
-                    ok = err is None
-                    all_ok = all_ok and ok
-                    rows.append(
-                        {"filepath": fp, "dest": dest, "bytes": int(size),
-                         "attempts": attempt, "ok": ok, "error": err}
-                    )
-                if do_delete and all_ok:
-                    try:
-                        os.remove(fp)
-                    except OSError:
-                        pass  # already gone — move is idempotent
-            yield pd.DataFrame(
-                rows, columns=["filepath", "dest", "bytes", "attempts", "ok", "error"]
-            )
+                                src.copy_to(fp, dst, dest)
+                                err = None
+                                break
+                            except Exception as e:  # transient errors retry (OSError, ftplib/ssh errors)
+                                err = f"{type(e).__name__}: {e}"
+                                if attempt < attempts_n:
+                                    _t.sleep(sleep_s)
+                        ok = err is None
+                        all_ok = all_ok and ok
+                        rows.append(
+                            {"filepath": fp, "dest": dest, "bytes": int(size),
+                             "attempts": attempt, "ok": ok, "error": err}
+                        )
+                    if do_delete and all_ok:
+                        try:
+                            src.delete(fp)
+                        except Exception:
+                            pass  # already gone — move is idempotent
+                yield pd.DataFrame(
+                    rows, columns=["filepath", "dest", "bytes", "attempts", "ok", "error"]
+                )
 
     return _run_eager(plan.mapInPandas(execute, parse_ddl(COPY_RESULT_DDL)))
 
@@ -360,6 +389,7 @@ def process_files(
     output_ddl: str,
     story: DataFrame | None = None,
     files: DataFrame | None = None,
+    manager: dict | None = None,
 ) -> DataFrame:
     """FileProcessing: run a user function on every matched file,
     distributed (proc/FileProcessing.groovy — getl's per-file closure
@@ -368,28 +398,41 @@ def process_files(
     ``fn(row: dict) -> dict | list[dict] | None`` receives one listing
     row (filepath + built-ins + mask variables, plain Python values)
     per file on an executor and returns output row(s) conforming to
-    ``output_ddl`` (None -> file skipped). Arrow-batched around the
-    per-file calls; the function itself is user I/O (that is the
-    point of the operator), so keep byte-heavy work inside it.
-    Executes eagerly, exactly once per file — like copy/clean, a user
-    fn that archives or deletes must not rerun on every action."""
+    ``output_ddl`` (None -> file skipped). A two-argument ``fn(row,
+    mgr)`` additionally receives the task's connected FileManager
+    (getl hands its processing closure the manager the same way), so
+    the user code reads remote files without its own connection
+    plumbing. Arrow-batched around the per-file calls; the function
+    itself is user I/O (that is the point of the operator), so keep
+    byte-heavy work inside it. Executes eagerly, exactly once per
+    file — like copy/clean, a user fn that archives or deletes must
+    not rerun on every action."""
+    import inspect
+
     import pandas as pd
 
-    lst = files if files is not None else list_files(spark, base_dir, mask)
+    lst = (
+        files
+        if files is not None
+        else list_files(spark, base_dir, mask, manager=manager)
+    )
     if story is not None:
         lst = lst.join(story.select("filepath").distinct(), "filepath", "left_anti")
     schema = parse_ddl(output_ddl)
     out_cols = [f.name for f in schema.fields]
+    mgr_spec = manager
+    wants_mgr = len(inspect.signature(fn).parameters) >= 2
 
     def execute(batches):
-        for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                res = fn(rec)
-                if res is None:
-                    continue
-                rows.extend(res if isinstance(res, list) else [res])
-            yield pd.DataFrame(rows, columns=out_cols)
+        with build_manager(mgr_spec) as m:
+            for pdf in batches:
+                rows = []
+                for rec in pdf.to_dict("records"):
+                    res = fn(rec, m) if wants_mgr else fn(rec)
+                    if res is None:
+                        continue
+                    rows.extend(res if isinstance(res, list) else [res])
+                yield pd.DataFrame(rows, columns=out_cols)
 
     return _run_eager(
         lst.repartition(max(spark.sparkContext.defaultParallelism, 1)).mapInPandas(
@@ -405,31 +448,39 @@ def clean_files(
     older_than_ts: float | None = None,
     story: DataFrame | None = None,
     files: DataFrame | None = None,
+    manager: dict | None = None,
 ) -> DataFrame:
     """FileCleaner: distributed removal of files matching ``mask``
     (optionally only those modified before ``older_than_ts`` unix
     seconds, or only those recorded in ``story`` — clean exactly what
-    a copier run has safely landed). Returns (filepath, ok, error)."""
+    a copier run has safely landed). Returns (filepath, ok, error).
+    ``manager`` is an fsmanagers spec dict (None = local POSIX)."""
     import pandas as pd
 
-    lst = files if files is not None else list_files(spark, base_dir, mask)
+    lst = (
+        files
+        if files is not None
+        else list_files(spark, base_dir, mask, manager=manager)
+    )
     if older_than_ts is not None:
         lst = lst.filter(F.col("filedate").cast("double") < float(older_than_ts))
     if story is not None:
         lst = lst.join(story.select("filepath").distinct(), "filepath", "left_semi")
+    mgr_spec = manager
 
     def execute(batches):
-        for pdf in batches:
-            rows = []
-            for fp in pdf["filepath"]:
-                try:
-                    os.remove(fp)
-                    rows.append({"filepath": fp, "ok": True, "error": None})
-                except OSError as e:
-                    rows.append(
-                        {"filepath": fp, "ok": False, "error": f"{type(e).__name__}: {e}"}
-                    )
-            yield pd.DataFrame(rows, columns=["filepath", "ok", "error"])
+        with build_manager(mgr_spec) as m:
+            for pdf in batches:
+                rows = []
+                for fp in pdf["filepath"]:
+                    try:
+                        m.delete(fp)
+                        rows.append({"filepath": fp, "ok": True, "error": None})
+                    except Exception as e:
+                        rows.append(
+                            {"filepath": fp, "ok": False, "error": f"{type(e).__name__}: {e}"}
+                        )
+                yield pd.DataFrame(rows, columns=["filepath", "ok", "error"])
 
     return _run_eager(
         lst.select("filepath")

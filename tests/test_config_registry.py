@@ -1,0 +1,132 @@
+"""Config-file registry (getl ConfigFiles/ConfigSlurper parity):
+multi-file deep merge, ${var} macro substitution, named tables
+registering as views, and the script CLI running against
+config-registered tables."""
+
+import json
+import os
+
+import pytest
+
+from getl_spark.config import ConfigRegistry
+
+
+def _write(tmp_path, name, doc):
+    p = tmp_path / name
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+class TestLoadMergeVars:
+    def test_multi_file_deep_merge_later_wins(self, tmp_path):
+        a = _write(tmp_path, "a.json", {
+            "vars": {"region": "emea", "depth": 1},
+            "tables": {"t1": {"format": "parquet", "path": "/a/t1"},
+                       "t2": {"format": "parquet", "path": "/a/t2"}},
+        })
+        b = _write(tmp_path, "b.json", {
+            "vars": {"depth": 2},
+            "tables": {"t2": {"format": "parquet", "path": "/b/t2"}},
+        })
+        # getl's 'a.json;b.json' multi-file form
+        reg = ConfigRegistry.load(f"{a};{b}")
+        assert reg.vars == {"region": "emea", "depth": 2}
+        assert reg.content["tables"]["t1"]["path"] == "/a/t1"
+        assert reg.content["tables"]["t2"]["path"] == "/b/t2"
+
+    def test_macro_substitution_and_ext_var_override(self, tmp_path):
+        c = _write(tmp_path, "c.json", {
+            "vars": {"landing": "/data/in", "n": 5},
+            "tables": {"raw": {"format": "csv", "path": "${landing}/f.csv",
+                               "options": {"header": True}}},
+            "managers": {"zone": {"type": "sftp", "host": "h-${landing}"}},
+            "limits": {"rows": "${n}"},
+        })
+        reg = ConfigRegistry.load(c, ext_vars={"landing": "/override"})
+        assert reg.content["tables"]["raw"]["path"] == "/override/f.csv"
+        assert reg.manager("zone")["host"] == "h-/override"
+        # whole-string macro keeps the var's type
+        assert reg.content["limits"]["rows"] == 5
+
+    def test_undefined_macro_raises(self, tmp_path):
+        c = _write(tmp_path, "c.json", {"tables": {"x": {"path": "${nope}/x"}}})
+        with pytest.raises(KeyError, match="nope"):
+            ConfigRegistry.load(c)
+
+    def test_unknown_lookups_raise(self, tmp_path):
+        reg = ConfigRegistry.load(_write(tmp_path, "e.json", {}))
+        with pytest.raises(KeyError, match="unknown connection"):
+            reg.connection("nope")
+        with pytest.raises(KeyError, match="unknown manager"):
+            reg.manager("nope")
+
+
+class TestResolveAndRegister:
+    def test_parquet_csv_lake_tables_register_as_views(self, spark, tmp_path):
+        import pandas as pd
+
+        from getl_spark.lake import LakeCatalog, PartitionSpec
+        from getl_spark.schema import parse_ddl
+
+        # parquet table
+        pq = str(tmp_path / "ev")
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string").write.parquet(pq)
+        # csv table
+        csv = tmp_path / "r.csv"
+        csv.write_text("id,amt\n1,10\n2,20\n")
+        # lake table through a named connection
+        wh = str(tmp_path / "wh")
+        cat = LakeCatalog(wh)
+        t = cat.create_table("dims", parse_ddl("k bigint, name string"), PartitionSpec.none())
+        t.append_pandas(pd.DataFrame([{"k": 1, "name": "one"}]), {"epoch": 0})
+
+        cfg = _write(tmp_path, "cfg.json", {
+            "vars": {"base": str(tmp_path)},
+            "connections": {"wh": {"type": "lake", "warehouse": "${base}/wh"}},
+            "tables": {
+                "events_cfg": {"format": "parquet", "path": "${base}/ev"},
+                "raw_cfg": {"format": "csv", "path": "${base}/r.csv",
+                            "options": {"validate_rows": False}},
+                "dims_cfg": {"connection": "wh", "table": "dims"},
+            },
+        })
+        reg = ConfigRegistry.load(cfg)
+        assert reg.register(spark) == ["dims_cfg", "events_cfg", "raw_cfg"]
+        assert spark.sql("SELECT count(*) c FROM events_cfg").collect()[0]["c"] == 2
+        assert spark.sql(
+            "SELECT sum(amt) s FROM raw_cfg"
+        ).collect()[0]["s"] == 30
+        assert spark.sql(
+            "SELECT name FROM dims_cfg WHERE k = 1"
+        ).collect()[0]["name"] == "one"
+
+    def test_script_cli_runs_against_config_tables(self, spark, tmp_path):
+        """The operational pairing: `script --config cfg.json` joins a
+        config-registered view and writes through the scripter."""
+        import subprocess
+        import sys
+
+        pq = str(tmp_path / "sales")
+        spark.createDataFrame(
+            [("emea", 10), ("emea", 5), ("apac", 7)], "region string, amt int"
+        ).write.parquet(pq)
+        cfg = _write(tmp_path, "cfg.json", {
+            "vars": {"who": "emea"},
+            "tables": {"sales_cfg": {"format": "parquet", "path": pq}},
+        })
+        scr = tmp_path / "job.sql"
+        scr.write_text(
+            "ECHO region={who};\n"
+            "SET SELECT CAST(sum(amt) AS BIGINT) AS total "
+            "FROM sales_cfg WHERE region = '{who}';\n"
+            "ECHO total={total};\n"
+        )
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        out = subprocess.run(
+            [sys.executable, "-m", "getl_spark", "script",
+             "--file", str(scr), "--config", cfg],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["echoed"] == ["region=emea", "total=15"]

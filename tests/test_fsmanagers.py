@@ -1,0 +1,344 @@
+"""Remote-filesystem manager layer (getl files/Manager family):
+contract tests per backend + the copier/cleaner running end-to-end
+over a NON-POSIX access path (pyarrow SubTree filesystem — the same
+ArrowFileManager code path an HDFS deployment uses, only the
+FileSystem instance differs)."""
+
+import io
+import os
+import posixpath
+
+import pytest
+
+from getl_spark.filecopy import clean_files, copy_files, list_files, process_files
+from getl_spark.fsmanagers import (
+    ArrowFileManager,
+    FTPFileManager,
+    LocalFileManager,
+    SFTPFileManager,
+    build_manager,
+)
+
+
+def _seed(root, layout):
+    for rel, content in layout.items():
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write(content)
+
+
+LAYOUT = {
+    "a/x1.csv": "one",
+    "a/x2.csv": "twotwo",
+    "b/deep/x3.csv": "three33",
+    "top.csv": "t",
+    "skip.txt": "no",
+}
+
+
+@pytest.fixture(params=["local", "arrow-local"])
+def mgr_env(request, tmp_path):
+    """(manager, base_path_in_namespace, spec) for each backend."""
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    _seed(root, LAYOUT)
+    if request.param == "local":
+        return build_manager(None), root, None
+    spec = {"type": "arrow-local", "root": root}
+    return build_manager(spec), "", spec
+
+
+class TestManagerContract:
+    def test_list_dir_entries(self, mgr_env):
+        mgr, base, _ = mgr_env
+        with mgr:
+            entries = {e.name: e for e in mgr.list_dir(base if base else "")}
+        assert entries["a"].is_dir and entries["b"].is_dir
+        assert not entries["top.csv"].is_dir
+        assert entries["top.csv"].size == 1
+        assert entries["skip.txt"].size == 2
+
+    def test_walk_covers_tree(self, mgr_env):
+        mgr, base, _ = mgr_env
+        with mgr:
+            names = sorted(
+                fe.name for _d, files in mgr.walk(base) for fe in files
+            )
+        assert names == ["skip.txt", "top.csv", "x1.csv", "x2.csv", "x3.csv"]
+
+    def test_upload_is_atomic_and_readable(self, mgr_env):
+        mgr, base, _ = mgr_env
+        with mgr:
+            dest = mgr.join(base, "out/landed.bin") if base else "out/landed.bin"
+            n = mgr.upload(io.BytesIO(b"payload-bytes"), dest)
+            assert n == 13
+            assert mgr.exists(dest)
+            with mgr.open_read(dest) as fh:
+                assert fh.read() == b"payload-bytes"
+            # no torn temp remains beside the landed file
+            d_dir = mgr.split(dest)[0]
+            leftover = [e.name for e in mgr.list_dir(d_dir) if "__copying_" in e.name]
+            assert leftover == []
+
+    def test_rename_delete_exists(self, mgr_env):
+        mgr, base, _ = mgr_env
+        with mgr:
+            src = mgr.join(base, "a/x1.csv") if base else "a/x1.csv"
+            dst = mgr.join(base, "a/renamed.csv") if base else "a/renamed.csv"
+            mgr.rename(src, dst)
+            assert not mgr.exists(src) and mgr.exists(dst)
+            mgr.delete(dst)
+            assert not mgr.exists(dst)
+
+    def test_missing_dir_raises_filenotfound(self, mgr_env):
+        mgr, base, _ = mgr_env
+        with mgr:
+            missing = mgr.join(base, "nope") if base else "nope"
+            with pytest.raises(FileNotFoundError):
+                mgr.list_dir(missing)
+            assert list(mgr.walk(missing)) == []
+
+
+class TestArrowEndToEnd:
+    """The copier over the protocol layer with NO os.walk/shutil in
+    the path — mirrors CopyTest.groovy's two-manager scenarios."""
+
+    def test_list_files_namespace_paths(self, spark, tmp_path):
+        root = str(tmp_path / "zone")
+        os.makedirs(root)
+        _seed(root, LAYOUT)
+        spec = {"type": "arrow-local", "root": root}
+        # getl mask semantics: '*' never crosses '/', so each mask
+        # names its level explicitly (exercises both the files-mode
+        # and tree-mode walker tasks over the manager)
+        top = {r["relpath"] for r in list_files(spark, "", "*.csv", manager=spec).collect()}
+        assert top == {"top.csv"}
+        lst = list_files(spark, "", "a/*.csv", manager=spec)
+        rows = {r["relpath"]: r for r in lst.collect()}
+        assert sorted(rows) == ["a/x1.csv", "a/x2.csv"]
+        # filepath is in the MANAGER's namespace (relative to root)
+        assert rows["a/x1.csv"]["filepath"] == "a/x1.csv"
+        assert rows["a/x2.csv"]["filesize"] == 6
+        deep = {
+            r["relpath"]
+            for r in list_files(spark, "", "b/deep/*.csv", manager=spec).collect()
+        }
+        assert deep == {"b/deep/x3.csv"}
+
+    def test_copy_move_across_managers_with_story_exactly_once(self, spark, tmp_path):
+        src_root = str(tmp_path / "landing")
+        dst_root = str(tmp_path / "lake")
+        os.makedirs(src_root)
+        os.makedirs(dst_root)
+        _seed(src_root, LAYOUT)
+        src_spec = {"type": "arrow-local", "root": src_root}
+        dst_spec = {"type": "arrow-local", "root": dst_root}
+
+        res = copy_files(
+            spark, "", "a/*.csv", ["ingested"],
+            src_manager=src_spec, dest_manager=dst_spec,
+        )
+        ok = res.filter("ok")
+        assert ok.count() == 2
+        landed = []
+        for dirpath, _dirs, files in os.walk(dst_root):
+            landed += [
+                posixpath.relpath(posixpath.join(dirpath, f), dst_root) for f in files
+            ]
+        assert sorted(landed) == ["ingested/a/x1.csv", "ingested/a/x2.csv"]
+        with open(os.path.join(dst_root, "ingested/a/x2.csv")) as fh:
+            assert fh.read() == "twotwo"
+
+        # rerun with the story: everything skipped (exactly-once)
+        rerun = copy_files(
+            spark, "", "a/*.csv", ["ingested"],
+            src_manager=src_spec, dest_manager=dst_spec,
+            story=ok.select("filepath", "dest"),
+        )
+        assert rerun.count() == 0
+
+        # a NEW file appears; only it is copied, then move semantics
+        _seed(src_root, {"a/x9.csv": "nine-new"})
+        third = copy_files(
+            spark, "", "a/*.csv", ["ingested"],
+            src_manager=src_spec, dest_manager=dst_spec,
+            story=ok.select("filepath", "dest"),
+            delete_source=True,
+        )
+        assert third.filter("ok").count() == 1
+        assert not os.path.exists(os.path.join(src_root, "a/x9.csv"))
+        with open(os.path.join(dst_root, "ingested/a/x9.csv")) as fh:
+            assert fh.read() == "nine-new"
+
+    def test_clean_and_process_over_manager(self, spark, tmp_path):
+        root = str(tmp_path / "zone")
+        os.makedirs(root)
+        _seed(root, LAYOUT)
+        spec = {"type": "arrow-local", "root": root}
+
+        # process: fn(row, mgr) reads file bytes through the manager
+        def summarize(row, mgr):
+            with mgr.open_read(row["filepath"]) as fh:
+                data = fh.read()
+            return {"filepath": row["filepath"], "n": len(data)}
+
+        out = process_files(
+            spark, "", "a/*.csv", summarize, "filepath string, n bigint",
+            manager=spec,
+        )
+        got = {r["filepath"]: r["n"] for r in out.collect()}
+        assert got["a/x2.csv"] == 6 and len(got) == 2
+
+        cleaned = clean_files(spark, "", "a/*.csv", manager=spec)
+        assert cleaned.filter("ok").count() == 2
+        left = sorted(f for _d, _s, fs in os.walk(root) for f in fs)
+        assert left == ["skip.txt", "top.csv", "x3.csv"]
+
+
+class _FakeFTP:
+    """In-memory ftplib.FTP double implementing exactly the command
+    subset FTPFileManager issues — the contract test pins the command
+    SEQUENCES (STOR to dot-temp then RNFR/RNTO, MLSD facts, DELE)
+    without needing a daemon the sandbox can't run."""
+
+    store: dict[str, bytes] = {}
+    log: list[str] = []
+
+    def __init__(self):
+        type(self).log.append("init")
+
+    def connect(self, host, port, timeout=None):
+        type(self).log.append(f"connect {host}:{port}")
+
+    def login(self, user, password):
+        type(self).log.append(f"login {user}")
+
+    def quit(self):
+        type(self).log.append("quit")
+
+    def _children(self, path):
+        path = path.strip("/")
+        pref = path + "/" if path else ""
+        out = {}
+        for k in self.store:
+            if not k.startswith(pref):
+                continue
+            rest = k[len(pref):]
+            name = rest.split("/", 1)[0]
+            out[name] = "dir" if "/" in rest else "file"
+        return out, pref
+
+    def mlsd(self, path):
+        self.log.append(f"MLSD {path}")
+        kids, pref = self._children(path)
+        if not kids and path.strip("/"):
+            import ftplib
+
+            raise ftplib.error_perm("550 no such dir")
+        for name, typ in sorted(kids.items()):
+            facts = {"type": typ}
+            if typ == "file":
+                facts["size"] = str(len(self.store[pref + name]))
+                facts["modify"] = "20260815120000"
+            yield name, facts
+
+    def size(self, path):
+        import ftplib
+
+        k = path.strip("/")
+        if k in self.store:
+            return len(self.store[k])
+        raise ftplib.error_perm("550 not a file")
+
+    def retrbinary(self, cmd, cb):
+        self.log.append(cmd)
+        k = cmd.split(" ", 1)[1].strip("/")
+        cb(self.store[k])
+
+    def storbinary(self, cmd, fh):
+        self.log.append(cmd)
+        self.store[cmd.split(" ", 1)[1].strip("/")] = fh.read()
+
+    def mkd(self, path):
+        self.log.append(f"MKD {path}")
+
+    def delete(self, path):
+        import ftplib
+
+        self.log.append(f"DELE {path}")
+        k = path.strip("/")
+        if k not in self.store:
+            raise ftplib.error_perm("550 no such file")
+        del self.store[k]
+
+    def rename(self, src, dst):
+        self.log.append(f"RNFR {src} RNTO {dst}")
+        self.store[dst.strip("/")] = self.store.pop(src.strip("/"))
+
+    def nlst(self, path):
+        kids, pref = self._children(path)
+        return [pref + n for n in sorted(kids)]
+
+
+class TestFTPContract:
+    @pytest.fixture()
+    def ftp_mgr(self):
+        _FakeFTP.store = {
+            "landing/a.csv": b"alpha",
+            "landing/sub/b.csv": b"bravo!",
+        }
+        _FakeFTP.log = []
+        m = FTPFileManager("host.example", 21, "u", "p", ftp_factory=_FakeFTP)
+        with m:
+            yield m
+
+    def test_list_and_walk(self, ftp_mgr):
+        entries = {e.name: e for e in ftp_mgr.list_dir("landing")}
+        assert entries["a.csv"].size == 5 and not entries["a.csv"].is_dir
+        assert entries["sub"].is_dir
+        assert entries["a.csv"].mtime > 0
+        names = sorted(fe.name for _d, fs in ftp_mgr.walk("landing") for fe in fs)
+        assert names == ["a.csv", "b.csv"]
+
+    def test_upload_lands_via_temp_then_rename(self, ftp_mgr):
+        ftp_mgr.upload(io.BytesIO(b"x" * 7), "landing/new.csv", pid_tag="42")
+        assert _FakeFTP.store["landing/new.csv"] == b"x" * 7
+        stor = [l for l in _FakeFTP.log if l.startswith("STOR")]
+        ren = [l for l in _FakeFTP.log if l.startswith("RNFR")]
+        assert stor == ["STOR landing/.new.csv.__copying_42"]
+        assert ren == ["RNFR landing/.new.csv.__copying_42 RNTO landing/new.csv"]
+
+    def test_read_delete(self, ftp_mgr):
+        with ftp_mgr.open_read("landing/sub/b.csv") as fh:
+            assert fh.read() == b"bravo!"
+        ftp_mgr.delete("landing/a.csv")
+        assert "landing/a.csv" not in _FakeFTP.store
+
+    def test_missing_dir_raises(self, ftp_mgr):
+        with pytest.raises(FileNotFoundError):
+            ftp_mgr.list_dir("nope")
+
+
+def test_sftp_requires_paramiko_with_clear_error():
+    m = SFTPFileManager("h.example")
+    try:
+        import paramiko  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="paramiko"):
+            m.connect()
+    else:
+        pytest.skip("paramiko installed; connect would hit the network")
+
+
+def test_build_manager_specs():
+    assert isinstance(build_manager(None), LocalFileManager)
+    assert isinstance(build_manager({"type": "local"}), LocalFileManager)
+    assert isinstance(
+        build_manager({"type": "arrow-local", "root": "/tmp/x_mgr_spec"}),
+        ArrowFileManager,
+    )
+    assert isinstance(build_manager({"type": "ftp", "host": "h"}), FTPFileManager)
+    assert isinstance(build_manager({"type": "sftp", "host": "h"}), SFTPFileManager)
+    with pytest.raises(ValueError, match="unknown file manager"):
+        build_manager({"type": "gopher"})
