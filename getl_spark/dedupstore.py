@@ -1,0 +1,188 @@
+"""Incremental near-dedup — the story pattern applied to dedup.
+
+No 100-TB pipeline re-dedups its corpus from scratch per ingest: the
+MinHash LSH index rows of every document ever seen persist in a lake
+table, and each new batch is (a) banded once, (b) joined against the
+standing index + itself for candidates, (c) Jaccard-verified, (d)
+appended to the index. Cost per batch is O(new docs + touched
+buckets), not O(corpus).
+
+Reference analog: getl's story-table exactly-once skip
+(/root/reference/src/main/groovy/getl/files/Manager.groovy:936-948)
+applied to content identity instead of file names.
+
+Equality contract (pinned by test): with ingest-ordered doc ids
+(every new batch's ids are larger than all stored ids), the union of
+``add_batch`` outputs over any batch split equals the one-shot
+``near_dedup_minhash(union, transitive=False)`` kept set — because
+the pairwise drop rule ("drop the higher id of each verified pair")
+never lets a later doc evict an earlier one, and the banded candidate
+join over (stored + new) index rows reproduces exactly the one-shot
+join's pairs that touch a new doc. Dropped docs' signatures stay in
+the index on purpose: the one-shot pair set includes pairs whose
+lower id was itself dropped, so the incremental index must too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from getl_spark.functions.dedupe import (
+    _cap_buckets,
+    jaccard_verify,
+    minhash_banded_rows,
+)
+from getl_spark.lake import LakeCatalog, PartitionSpec
+from getl_spark.schema import parse_ddl
+
+
+class DedupStore:
+    """Persisted MinHash LSH index + document texts in a lake
+    warehouse. One store per (num_hashes, bands, shingle_words,
+    hash_fn, threshold) configuration — the parameters are fixed at
+    creation and written into the index table's first snapshot summary
+    so a mismatched reopen fails loudly instead of silently mixing
+    incompatible signatures."""
+
+    def __init__(
+        self,
+        warehouse: str,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_words: int = 3,
+        threshold: float = 0.7,
+        hash_fn: str = "xxhash64",
+        max_bucket: int | None = None,
+        num_buckets: int = 32,
+    ):
+        self.cfg = {
+            "num_hashes": int(num_hashes), "bands": int(bands),
+            "shingle_words": int(shingle_words), "threshold": float(threshold),
+            "hash_fn": hash_fn,
+        }
+        self.max_bucket = max_bucket
+        cat = LakeCatalog(warehouse)
+        self.index = cat.create_table(
+            "_dedup_index",
+            parse_ddl("doc_id bigint, band_id int, band_hash string"),
+            PartitionSpec.bucket(num_buckets, "band_hash"),
+            if_not_exists=True,
+        )
+        self.docs = cat.create_table(
+            "_dedup_docs",
+            parse_ddl("doc_id bigint, text string"),
+            PartitionSpec.bucket(num_buckets, "doc_id"),
+            if_not_exists=True,
+        )
+        for snap in self.index.meta["snapshots"]:
+            summ = snap.get("summary", {})
+            if "num_hashes" not in summ:
+                continue  # creation / unrelated snapshot
+            mismatch = {
+                k: (summ.get(k), self.cfg[k])
+                for k in self.cfg
+                if summ.get(k) != self.cfg[k]
+            }
+            if mismatch:
+                raise ValueError(
+                    f"DedupStore config mismatch vs existing index: {mismatch}"
+                )
+            break
+
+    def corpus_size(self) -> int:
+        return self.docs.count_rows()
+
+    def add_batch(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        require_monotonic: bool = True,
+    ) -> DataFrame:
+        """Dedup ``docs`` against the standing corpus + themselves;
+        persist their signatures; return the KEPT new docs (original
+        columns). Re-submitting already-indexed ids is a no-op for
+        them (story semantics)."""
+        d = docs.withColumn("_did", F.col(id_col).cast("bigint"))
+        self.index.refresh()
+        self.docs.refresh()
+        have_rows = self.index.meta["snapshots"] and self.corpus_size() > 0
+        stored_ids = (
+            self.docs.read(spark).select(F.col("doc_id").alias("_did"))
+            if have_rows
+            else None
+        )
+        if stored_ids is not None:
+            d = d.join(stored_ids, "_did", "left_anti")
+        d = d.drop("_did")
+
+        if require_monotonic and have_rows:
+            hi = self.docs.read(spark).agg(F.max("doc_id")).collect()[0][0]
+            lo = d.agg(F.min(F.col(id_col).cast("bigint"))).collect()[0][0]
+            if lo is not None and hi is not None and lo <= hi:
+                raise ValueError(
+                    f"add_batch: new ids must exceed all stored ids for the "
+                    f"batch==incremental equality contract (new min {lo} <= "
+                    f"stored max {hi}); pass require_monotonic=False to "
+                    "override"
+                )
+
+        new_banded = minhash_banded_rows(
+            d, text_col, id_col,
+            self.cfg["num_hashes"], self.cfg["bands"],
+            self.cfg["shingle_words"], self.cfg["hash_fn"],
+        ).select(F.col(id_col).cast("bigint").alias("doc_id"), "band_id", "band_hash")
+
+        if have_rows:
+            stored_banded = self.index.read(spark)
+            all_banded = stored_banded.unionByName(new_banded)
+        else:
+            all_banded = new_banded
+        # the cap window sees stored+new rows, so bucket sizes equal
+        # the one-shot run's — required for result equality
+        capped = _cap_buckets(all_banded, ["band_id", "band_hash"], self.max_bucket)
+        new_ids = new_banded.select("doc_id").distinct()
+        a, b = capped.alias("a"), capped.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            # only pairs whose HIGHER id is new can drop anything new;
+            # old x old pairs were judged in earlier batches
+            .join(new_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi")
+            .distinct()
+        )
+
+        # verify on texts of exactly the docs the pairs touch
+        new_texts = d.select(
+            F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text")
+        )
+        texts = (
+            self.docs.read(spark).unionByName(new_texts) if have_rows else new_texts
+        )
+        touched = (
+            pairs.select(F.col("a_id").alias("doc_id"))
+            .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        texts = texts.join(touched, "doc_id", "left_semi")
+        verified = jaccard_verify(
+            texts, pairs, "text", "doc_id", self.cfg["shingle_words"],
+            self.cfg["threshold"],
+        )
+        dropped = verified.select(F.col("b_id").alias("_drop")).distinct()
+        kept = d.join(
+            dropped, F.col(id_col).cast("bigint") == F.col("_drop"), "left_anti"
+        )
+
+        # persist AFTER computing (a crash before these appends = the
+        # batch never happened; rerun is the story no-op + full redo)
+        self.index.append(new_banded, {"op": "add_batch", **self.cfg})
+        self.docs.append(new_texts, {"op": "add_batch"})
+        return kept

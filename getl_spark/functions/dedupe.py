@@ -177,6 +177,46 @@ def _cap_buckets(banded: DataFrame, key_cols: list[str], max_bucket: int | None)
     )
 
 
+def minhash_banded_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH index rows — the unit both the
+    one-shot pair join and the incremental signature store
+    (:class:`getl_spark.dedupstore.DedupStore`) build on. band_hash is
+    a STRING in every mode so persisted rows and fresh rows join on
+    one stable type (sha256 keeps the raw joined minhashes for the
+    DuckDB oracle; xxhash64 compresses to one hash, stringified)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words, hash_fn)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        return joined if hash_fn == "sha256" else F.xxhash64(joined).cast("string")
+
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), band_key(b).alias("band_hash")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -195,31 +235,9 @@ def lsh_candidate_pairs(
     shuffle is proportional to corpus size, not its square.
     ``max_bucket`` drops degenerate buckets (see _cap_buckets).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words, hash_fn)
-
-    def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-        )
-        # sha256 mode keeps the raw joined string so DuckDB can build
-        # the identical key; xxhash64 mode compresses it to 8 bytes.
-        return joined if hash_fn == "sha256" else F.xxhash64(joined)
-
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"), band_key(b).alias("band_hash")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = minhash_banded_rows(
+        df, text_col, id_col, num_hashes, bands, shingle_words, hash_fn
+    )
     banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")

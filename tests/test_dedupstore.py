@@ -1,0 +1,82 @@
+"""Incremental near-dedup store: batch-split invariance (union of
+incremental outputs == one-shot near_dedup_minhash on the union),
+story idempotence, config pinning, monotonic-id guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from getl_spark.dedupstore import DedupStore
+from getl_spark.functions import dedupe
+
+BASE = [
+    # cluster 1: 1 ~ 101 (cross-batch near-dup), 1 ~ 2 (in-batch)
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+    (3, "completely unrelated text about catalyst query optimization in spark"),
+    (4, "another standalone document describing merge on read compaction"),
+    # batch 2
+    (101, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (102, "fresh content on adaptive query execution and shuffle partitions"),
+    (103, "another standalone document describing merge on read compaction today"),
+    # batch 3
+    (201, "fresh content on adaptive query execution and shuffle partitions now"),
+    (202, "entirely new subject matter for the third ingest batch of documents"),
+]
+PARAMS = dict(num_hashes=32, bands=16, threshold=0.35)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(BASE, "doc_id bigint, text string")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_incremental_equals_one_shot_across_batches(spark, corpus, tmp_path):
+    one_shot = _ids(
+        dedupe.near_dedup_minhash(corpus, transitive=False, **PARAMS)
+    )
+    store = DedupStore(str(tmp_path / "wh"), **PARAMS)
+    kept = []
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        batch = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        kept += _ids(store.add_batch(spark, batch))
+    assert sorted(kept) == one_shot
+    # the cross-batch near-dups were dropped incrementally
+    assert 101 not in kept and 103 not in kept and 201 not in kept
+    assert 1 in kept and 4 in kept and 102 in kept
+    assert store.corpus_size() == len(BASE)
+
+
+def test_resubmitting_indexed_ids_is_noop(spark, corpus, tmp_path):
+    store = DedupStore(str(tmp_path / "wh"), **PARAMS)
+    first = _ids(store.add_batch(spark, corpus.filter("doc_id < 100")))
+    again = store.add_batch(spark, corpus.filter("doc_id < 100"))
+    assert again.count() == 0  # story semantics: already judged
+    assert store.corpus_size() == 4
+    # and the standing index still dedups a genuinely new near-dup
+    nxt = _ids(store.add_batch(spark, corpus.filter("doc_id >= 100 AND doc_id < 200")))
+    assert 101 not in nxt and 102 in nxt
+    assert sorted(first) == [1, 3, 4]
+
+
+def test_config_mismatch_raises(spark, corpus, tmp_path):
+    wh = str(tmp_path / "wh")
+    store = DedupStore(wh, **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100"))
+    with pytest.raises(ValueError, match="config mismatch"):
+        DedupStore(wh, num_hashes=64, bands=16, threshold=0.35)
+
+
+def test_monotonic_guard(spark, corpus, tmp_path):
+    store = DedupStore(str(tmp_path / "wh"), **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id >= 100 AND doc_id < 200"))
+    with pytest.raises(ValueError, match="monotonic"):
+        store.add_batch(spark, corpus.filter("doc_id < 100"))
+    # explicit override still works (documented escape hatch)
+    out = store.add_batch(
+        spark, corpus.filter("doc_id < 100"), require_monotonic=False
+    )
+    assert out.count() >= 1
