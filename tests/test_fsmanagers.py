@@ -342,3 +342,117 @@ def test_build_manager_specs():
     assert isinstance(build_manager({"type": "sftp", "host": "h"}), SFTPFileManager)
     with pytest.raises(ValueError, match="unknown file manager"):
         build_manager({"type": "gopher"})
+
+
+class _FakeSFTPAttrs:
+    def __init__(self, filename, st_mode, st_size, st_mtime):
+        self.filename, self.st_mode = filename, st_mode
+        self.st_size, self.st_mtime = st_size, st_mtime
+
+
+class _FakeSFTP:
+    """In-memory paramiko SFTPClient double for the command subset
+    SFTPFileManager issues (listdir_attr/stat/open/mkdir/remove/
+    posix_rename)."""
+
+    def __init__(self, store):
+        self.store = store  # path -> bytes
+        self.log = []
+
+    def _kids(self, path):
+        path = path.strip("/")
+        pref = path + "/" if path else ""
+        out = {}
+        for k in self.store:
+            if k.startswith(pref):
+                rest = k[len(pref):]
+                name = rest.split("/", 1)[0]
+                out[name] = "dir" if "/" in rest else "file"
+        return out, pref
+
+    def listdir_attr(self, path):
+        import stat
+
+        kids, pref = self._kids(path)
+        if not kids and path.strip("/"):
+            raise IOError("no such dir")
+        return [
+            _FakeSFTPAttrs(
+                n,
+                stat.S_IFDIR if t == "dir" else stat.S_IFREG,
+                len(self.store.get(pref + n, b"")),
+                1755000000,
+            )
+            for n, t in sorted(kids.items())
+        ]
+
+    def stat(self, path):
+        import stat
+
+        k = path.strip("/")
+        if k in self.store:
+            return _FakeSFTPAttrs(k, stat.S_IFREG, len(self.store[k]), 0)
+        kids, _ = self._kids(path)
+        if kids:
+            return _FakeSFTPAttrs(k, stat.S_IFDIR, 0, 0)
+        raise IOError("not found")
+
+    def open(self, path, mode):
+        self.log.append(f"open {mode} {path}")
+        store, k = self.store, path.strip("/")
+        if mode == "rb":
+            return io.BytesIO(store[k])
+
+        class _W(io.BytesIO):
+            def __exit__(inner, *a):
+                store[k] = inner.getvalue()
+                return False
+
+            def close(inner):
+                store[k] = inner.getvalue()
+                super().close()
+
+        return _W()
+
+    def mkdir(self, path):
+        self.log.append(f"mkdir {path}")
+
+    def remove(self, path):
+        k = path.strip("/")
+        if k not in self.store:
+            raise IOError("not found")
+        del self.store[k]
+
+    def posix_rename(self, src, dst):
+        self.log.append(f"posix_rename {src} -> {dst}")
+        self.store[dst.strip("/")] = self.store.pop(src.strip("/"))
+
+
+class TestSFTPContract:
+    @pytest.fixture()
+    def sftp_mgr(self):
+        m = SFTPFileManager("h.example")
+        m._sftp = _FakeSFTP({"zone/a.csv": b"alpha", "zone/sub/b.csv": b"bravo!"})
+        yield m
+
+    def test_list_walk_stat(self, sftp_mgr):
+        entries = {e.name: e for e in sftp_mgr.list_dir("zone")}
+        assert entries["a.csv"].size == 5 and not entries["a.csv"].is_dir
+        assert entries["sub"].is_dir
+        names = sorted(fe.name for _d, fs in sftp_mgr.walk("zone") for fe in fs)
+        assert names == ["a.csv", "b.csv"]
+        assert sftp_mgr.exists("zone/a.csv") and not sftp_mgr.exists("zone/zz")
+        assert sftp_mgr.is_dir("zone/sub") and not sftp_mgr.is_dir("zone/a.csv")
+        with pytest.raises(FileNotFoundError):
+            sftp_mgr.list_dir("nope")
+
+    def test_upload_atomic_and_read_delete(self, sftp_mgr):
+        n = sftp_mgr.upload(io.BytesIO(b"y" * 9), "zone/new.csv", pid_tag="7")
+        assert n == 9
+        assert sftp_mgr._sftp.store["zone/new.csv"] == b"y" * 9
+        ren = [l for l in sftp_mgr._sftp.log if "posix_rename" in l]
+        assert ren == ["posix_rename zone/.new.csv.__copying_7 -> zone/new.csv"]
+        with sftp_mgr.open_read("zone/sub/b.csv") as fh:
+            assert fh.read() == b"bravo!"
+        sftp_mgr.delete("zone/a.csv")
+        assert not sftp_mgr.exists("zone/a.csv")
