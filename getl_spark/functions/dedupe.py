@@ -612,9 +612,12 @@ def simhash_duplicates(
     sig = simhash_signatures_df(df, text_col, id_col, hash_fn)
     bands = total_bits // band_bits
     mask = (1 << band_bits) - 1
+    # the signature rides the explode ONLY when the verify needs it —
+    # candidate-only mode keeps the narrow shuffle rows
+    carry = ["simhash"] if hamming_k is not None else []
     banded = sig.select(
         id_col,
-        "simhash",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -628,7 +631,7 @@ def simhash_duplicates(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    ).select(id_col, *carry, "band.band_id", "band.band_val")
     banded = _cap_buckets(banded, ["band_id", "band_val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cond = (
