@@ -1282,6 +1282,28 @@ SELECT query_id, neighbor_id, score FROM (
 
 SQL_IVF_TOPK = _sql_ivf_topk()
 
+
+def q_ann_index_topk(spark, sf_dir):
+    """Persisted-IVF-index probe (AnnIndex build once / probe many):
+    same centroids + assignment math as :func:`q_ivf_topk`, but the
+    corpus assignment is materialized in a cell-bucketed lake table
+    and the probe reads ONLY the probed cells' buckets (manifest
+    pruning) — so the one-shot oracle pins the service-shaped path
+    too. sha-centroid mode (train=False) keeps the SQL static."""
+    import tempfile
+
+    from getl_spark.annindex import AnnIndex
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    idx = AnnIndex(
+        tempfile.mkdtemp(prefix="ann_idx_q_"), dim=_ANN_DIM,
+        n_centroids=_IVF_CELLS, seed=_IVF_SEED,
+    )
+    idx.build(spark, emb, train=False)
+    return idx.search(spark, emb.filter("vec_id < 5"), k=_ANN_K, n_probe=_IVF_PROBE)
+
 _EMB_ND_THRESHOLD = 0.3
 _EMB_CAP = 500
 
@@ -1368,6 +1390,7 @@ def all_queries():
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
+        "ann_index_topk": q_ann_index_topk,
         "emb_near_dups": q_emb_near_dups,
     }
 
@@ -1413,5 +1436,6 @@ def all_oracles():
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_IVF_TOPK,
+        "ann_index_topk": SQL_IVF_TOPK,
         "emb_near_dups": SQL_EMB_NEAR_DUPS,
     }
