@@ -99,6 +99,26 @@ def main(argv=None):
         help="destination filesystem manager spec as JSON (default: local)",
     )
 
+    dd = sub.add_parser(
+        "dedup",
+        help="incremental near-dedup: band new docs against the standing "
+        "MinHash index in the warehouse, append them, emit the kept docs",
+    )
+    dd.add_argument("--warehouse", required=True)
+    dd.add_argument("--docs", required=True, help="parquet dir/file of the new batch")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--num-hashes", type=int, default=64)
+    dd.add_argument("--bands", type=int, default=16)
+    dd.add_argument("--threshold", type=float, default=0.7)
+    dd.add_argument("--max-bucket", type=int, default=None)
+    dd.add_argument("--out", default=None, help="write kept docs to this parquet dir")
+    dd.add_argument(
+        "--allow-unordered", action="store_true",
+        help="skip the monotonic-id guard (batch==incremental equality "
+        "is only guaranteed with ingest-ordered ids)",
+    )
+
     comp = sub.add_parser(
         "compact",
         help="MOR maintenance: fold deltas to one row per key; optionally "
@@ -247,6 +267,39 @@ def main(argv=None):
         sc.load_file(args.file)
         sc.run()
         print(json.dumps({"row_count": sc.row_count, "echoed": sc.echoed}))
+    elif args.cmd == "dedup":
+        from getl_spark.dedupstore import DedupStore
+
+        t0 = time.monotonic()
+        store = DedupStore(
+            args.warehouse,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            threshold=args.threshold,
+            max_bucket=args.max_bucket,
+        )
+        batch = spark.read.parquet(args.docs)
+        n_in = batch.count()
+        kept = store.add_batch(
+            spark, batch, text_col=args.text_col, id_col=args.id_col,
+            require_monotonic=not args.allow_unordered,
+        )
+        if args.out:
+            kept.write.mode("overwrite").parquet(args.out)
+            n_kept = spark.read.parquet(args.out).count()
+        else:
+            n_kept = kept.count()
+        print(
+            json.dumps(
+                {
+                    "batch_rows": n_in,
+                    "kept": n_kept,
+                    "dropped": n_in - n_kept,
+                    "corpus_size": store.corpus_size(),
+                    "sec": round(time.monotonic() - t0, 1),
+                }
+            )
+        )
     elif args.cmd == "copyfiles":
         import os as _os
 

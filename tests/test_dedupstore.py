@@ -80,3 +80,38 @@ def test_monotonic_guard(spark, corpus, tmp_path):
         spark, corpus.filter("doc_id < 100"), require_monotonic=False
     )
     assert out.count() >= 1
+
+
+def test_dedup_cli_two_batches(spark, corpus, tmp_path):
+    """Operational loop: `python -m getl_spark dedup` run per ingest
+    batch against one warehouse — second batch dedups against the
+    first's persisted index, kept docs land in --out."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    wh = str(tmp_path / "wh")
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    corpus.filter("doc_id < 100").write.parquet(b1)
+    corpus.filter("doc_id >= 100 AND doc_id < 200").write.parquet(b2)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(docs, out):
+        r = subprocess.run(
+            [sys.executable, "-m", "getl_spark", "dedup",
+             "--warehouse", wh, "--docs", docs, "--out", out,
+             "--num-hashes", "32", "--bands", "16", "--threshold", "0.35"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    r1 = run(b1, str(tmp_path / "out1"))
+    assert (r1["batch_rows"], r1["kept"], r1["corpus_size"]) == (4, 3, 4)
+    r2 = run(b2, str(tmp_path / "out2"))
+    assert r2["batch_rows"] == 3 and r2["corpus_size"] == 7
+    kept2 = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert kept2 == {102}  # 101 near-dups doc 1, 103 near-dups doc 4
