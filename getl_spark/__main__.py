@@ -257,10 +257,21 @@ def main(argv=None):
             p.error(f"--var expects NAME=VALUE, got: {', '.join(bad)}")
         ext = dict(v.split("=", 1) for v in args.var)
         if args.config:
+            import re as _re
+
             from getl_spark.config import ConfigRegistry
 
             reg = ConfigRegistry.load(*args.config, ext_vars=ext)
-            reg.register(spark)
+            # on-demand registration: only tables the script actually
+            # names get materialized — a shared config can list JDBC
+            # sources this job can't reach, and building their
+            # DataFrames would connect eagerly (schema fetch)
+            script_text = open(args.file).read()
+            used = [
+                n for n in reg.table_names()
+                if _re.search(rf"\b{_re.escape(n)}\b", script_text)
+            ]
+            reg.register(spark, used)
             # config vars are visible to the script; explicit --var wins
             ext = {**{k: str(v) for k, v in reg.vars.items()}, **ext}
         sc = SQLScripter(spark, ext_vars=ext, catalog=cat)
@@ -286,7 +297,9 @@ def main(argv=None):
         )
         if args.out:
             kept.write.mode("overwrite").parquet(args.out)
-            n_kept = spark.read.parquet(args.out).count()
+            # explicit schema: an all-dropped batch writes zero part
+            # files and a bare read cannot infer one
+            n_kept = spark.read.schema(kept.schema).parquet(args.out).count()
         else:
             n_kept = kept.count()
         print(

@@ -184,7 +184,12 @@ class ConfigRegistry:
     # -- Spark wiring ------------------------------------------------
     def register(self, spark: SparkSession, names: list[str] | None = None) -> list[str]:
         """Create a temp view per named table; returns the names. A
-        script then refers to config tables exactly like lake views."""
+        script then refers to config tables exactly like lake views.
+
+        Registration MATERIALIZES each table's DataFrame (a JDBC entry
+        connects to fetch its schema), so pass ``names`` to register
+        only what the job uses — the script CLI does this by scanning
+        the script text for config table names."""
         out = []
         for name in names if names is not None else self.table_names():
             self.table(spark, name).createOrReplaceTempView(name)

@@ -12,15 +12,23 @@ Reference analog: getl's story-table exactly-once skip
 applied to content identity instead of file names.
 
 Equality contract (pinned by test): with ingest-ordered doc ids
-(every new batch's ids are larger than all stored ids), the union of
-``add_batch`` outputs over any batch split equals the one-shot
-``near_dedup_minhash(union, transitive=False)`` kept set — because
-the pairwise drop rule ("drop the higher id of each verified pair")
-never lets a later doc evict an earlier one, and the banded candidate
-join over (stored + new) index rows reproduces exactly the one-shot
-join's pairs that touch a new doc. Dropped docs' signatures stay in
-the index on purpose: the one-shot pair set includes pairs whose
-lower id was itself dropped, so the incremental index must too.
+(every new batch's ids are larger than all stored ids) and
+``max_bucket=None``, the union of ``add_batch`` outputs over any
+batch split equals the one-shot ``near_dedup_minhash(union,
+transitive=False)`` kept set — because the pairwise drop rule ("drop
+the higher id of each verified pair") never lets a later doc evict an
+earlier one, and the banded candidate join over (stored + new) index
+rows reproduces exactly the one-shot join's pairs that touch a new
+doc. Dropped docs' signatures stay in the index on purpose: the
+one-shot pair set includes pairs whose lower id was itself dropped,
+so the incremental index must too.
+
+With ``max_bucket`` set, exact equality weakens to a one-sided
+guarantee: incremental is STRICTLY MORE AGGRESSIVE (a pair is judged
+when its higher id arrives, before the bucket can cross the cap, so
+incremental finds every pair the one-shot capped run finds, plus
+pairs whose bucket only later became degenerate). The cap is part of
+the store's pinned config, so batches can't silently mix caps.
 """
 
 from __future__ import annotations
@@ -60,6 +68,7 @@ class DedupStore:
             "num_hashes": int(num_hashes), "bands": int(bands),
             "shingle_words": int(shingle_words), "threshold": float(threshold),
             "hash_fn": hash_fn,
+            "max_bucket": None if max_bucket is None else int(max_bucket),
         }
         self.max_bucket = max_bucket
         cat = LakeCatalog(warehouse)
@@ -108,18 +117,22 @@ class DedupStore:
         d = docs.withColumn("_did", F.col(id_col).cast("bigint"))
         self.index.refresh()
         self.docs.refresh()
-        have_rows = self.index.meta["snapshots"] and self.corpus_size() > 0
-        stored_ids = (
-            self.docs.read(spark).select(F.col("doc_id").alias("_did"))
-            if have_rows
-            else None
-        )
-        if stored_ids is not None:
-            d = d.join(stored_ids, "_did", "left_anti")
+        # the INDEX commit is the LAST step of a batch, so an id present
+        # there is fully committed — the story filter and the monotonic
+        # guard both key on it. Ids present in docs but missing from the
+        # index are a partial crash; they reprocess (and the docs append
+        # below anti-joins so they don't duplicate).
+        have_index = self.index.count_rows() > 0
+        have_docs = self.docs.count_rows() > 0
+        if have_index:
+            indexed_ids = self.index.read(spark).select(
+                F.col("doc_id").alias("_did")
+            ).distinct()
+            d = d.join(indexed_ids, "_did", "left_anti")
         d = d.drop("_did")
 
-        if require_monotonic and have_rows:
-            hi = self.docs.read(spark).agg(F.max("doc_id")).collect()[0][0]
+        if require_monotonic and have_index:
+            hi = self.index.read(spark).agg(F.max("doc_id")).collect()[0][0]
             lo = d.agg(F.min(F.col(id_col).cast("bigint"))).collect()[0][0]
             if lo is not None and hi is not None and lo <= hi:
                 raise ValueError(
@@ -135,13 +148,19 @@ class DedupStore:
             self.cfg["shingle_words"], self.cfg["hash_fn"],
         ).select(F.col(id_col).cast("bigint").alias("doc_id"), "band_id", "band_hash")
 
-        if have_rows:
+        if have_index:
             stored_banded = self.index.read(spark)
             all_banded = stored_banded.unionByName(new_banded)
         else:
             all_banded = new_banded
-        # the cap window sees stored+new rows, so bucket sizes equal
-        # the one-shot run's — required for result equality
+        # the cap window sees stored+new rows. With max_bucket=None
+        # (the equality contract's precondition) this reproduces the
+        # one-shot pair set exactly. With a cap, incremental dedup is
+        # STRICTLY MORE AGGRESSIVE than one-shot: a pair is judged when
+        # its higher id arrives, at which point the bucket holds a
+        # subset of its final membership — so every pair the one-shot
+        # run finds under the cap is found here too, plus pairs whose
+        # bucket only later crossed the cap (see class docstring).
         capped = _cap_buckets(all_banded, ["band_id", "band_hash"], self.max_bucket)
         new_ids = new_banded.select("doc_id").distinct()
         a, b = capped.alias("a"), capped.alias("b")
@@ -164,7 +183,7 @@ class DedupStore:
             F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text")
         )
         texts = (
-            self.docs.read(spark).unionByName(new_texts) if have_rows else new_texts
+            self.docs.read(spark).unionByName(new_texts) if have_docs else new_texts
         )
         touched = (
             pairs.select(F.col("a_id").alias("doc_id"))
@@ -181,8 +200,17 @@ class DedupStore:
             dropped, F.col(id_col).cast("bigint") == F.col("_drop"), "left_anti"
         )
 
-        # persist AFTER computing (a crash before these appends = the
-        # batch never happened; rerun is the story no-op + full redo)
+        # persist AFTER computing, DOCS FIRST then INDEX: the index commit
+        # is the batch's "done" marker (the story filter keys on it), so
+        # a crash before it means the whole batch reprocesses — and the
+        # docs anti-join below heals a partial docs-only commit without
+        # duplicating rows. A crash before either append = the batch
+        # never happened.
+        texts_to_add = new_texts
+        if have_docs:
+            texts_to_add = new_texts.join(
+                self.docs.read(spark).select("doc_id"), "doc_id", "left_anti"
+            )
+        self.docs.append(texts_to_add, {"op": "add_batch"})
         self.index.append(new_banded, {"op": "add_batch", **self.cfg})
-        self.docs.append(new_texts, {"op": "add_batch"})
         return kept

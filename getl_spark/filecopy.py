@@ -144,14 +144,22 @@ def list_files(
                 rows = []
                 for root, mode in zip(pdf["root"], pdf["mode"]):
                     top = m.join(base, root) if root else base
-                    try:
-                        if mode == "files":
-                            entries = [(top, [e for e in m.list_dir(top) if not e.is_dir])]
-                        else:
-                            entries = m.walk(top)
-                    except (FileNotFoundError, NotADirectoryError, OSError):
-                        continue
-                    for dirpath, files in entries:
+
+                    def entries_of(top=top, mode=mode):
+                        # generator wrapper: m.walk() raises lazily at
+                        # ITERATION time, so the skip-on-error guard
+                        # must wrap the loop, not just the call (a root
+                        # replaced by a file between driver enumeration
+                        # and task execution otherwise kills the job)
+                        try:
+                            if mode == "files":
+                                yield (top, [e for e in m.list_dir(top) if not e.is_dir])
+                            else:
+                                yield from m.walk(top)
+                        except (FileNotFoundError, NotADirectoryError, OSError):
+                            return
+
+                    for dirpath, files in entries_of():
                         for fe in files:
                             full = m.join(dirpath, fe.name) if dirpath else fe.name
                             rel = rel_fn(full, base) if base else full
@@ -217,6 +225,7 @@ def copy_files(
     files: DataFrame | None = None,
     src_manager: dict | None = None,
     dest_manager: dict | None = None,
+    status_dir: str | None = None,
 ) -> DataFrame:
     """Copy (or move, ``delete_source=True``) every file matching
     ``mask`` under ``base_dir``.
@@ -352,10 +361,10 @@ def copy_files(
                     rows, columns=["filepath", "dest", "bytes", "attempts", "ok", "error"]
                 )
 
-    return _run_eager(plan.mapInPandas(execute, parse_ddl(COPY_RESULT_DDL)))
+    return _run_eager(plan.mapInPandas(execute, parse_ddl(COPY_RESULT_DDL)), status_dir)
 
 
-def _run_eager(df: DataFrame) -> DataFrame:
+def _run_eager(df: DataFrame, status_dir: str | None = None) -> DataFrame:
     """Execute a side-effectful file-operation plan exactly once, NOW.
 
     A lazy return would (a) do nothing until the caller happens to run
@@ -373,8 +382,16 @@ def _run_eager(df: DataFrame) -> DataFrame:
     import tempfile
 
     spark = df.sparkSession
-    out_dir = tempfile.mkdtemp(prefix="getl_spark_filestatus_")
-    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    if status_dir is None:
+        # local-mode default. On a MULTI-MACHINE cluster pass
+        # status_dir= (all file-op entry points forward it): executors
+        # write their part files relative to the cluster's default FS,
+        # so the directory must live on storage every node shares
+        # (HDFS/S3/NFS) — a driver-local temp dir is only shared in
+        # local mode.
+        status_dir = tempfile.mkdtemp(prefix="getl_spark_filestatus_")
+        atexit.register(shutil.rmtree, status_dir, ignore_errors=True)
+    out_dir = status_dir
     df.write.mode("overwrite").parquet(out_dir)
     # explicit schema: an all-skipped run writes zero part files and a
     # bare read of the empty dir cannot infer one
@@ -390,6 +407,7 @@ def process_files(
     story: DataFrame | None = None,
     files: DataFrame | None = None,
     manager: dict | None = None,
+    status_dir: str | None = None,
 ) -> DataFrame:
     """FileProcessing: run a user function on every matched file,
     distributed (proc/FileProcessing.groovy — getl's per-file closure
@@ -437,7 +455,8 @@ def process_files(
     return _run_eager(
         lst.repartition(max(spark.sparkContext.defaultParallelism, 1)).mapInPandas(
             execute, schema
-        )
+        ),
+        status_dir,
     )
 
 
@@ -449,6 +468,7 @@ def clean_files(
     story: DataFrame | None = None,
     files: DataFrame | None = None,
     manager: dict | None = None,
+    status_dir: str | None = None,
 ) -> DataFrame:
     """FileCleaner: distributed removal of files matching ``mask``
     (optionally only those modified before ``older_than_ts`` unix
@@ -485,5 +505,6 @@ def clean_files(
     return _run_eager(
         lst.select("filepath")
         .repartition(max(spark.sparkContext.defaultParallelism, 1))
-        .mapInPandas(execute, parse_ddl("filepath string, ok boolean, error string"))
+        .mapInPandas(execute, parse_ddl("filepath string, ok boolean, error string")),
+        status_dir,
     )

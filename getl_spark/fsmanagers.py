@@ -138,9 +138,12 @@ class FileManager:
             self.rename(tmp, dest)
             return n
         except Exception:
+            # best-effort temp cleanup must never REPLACE the original
+            # failure (ftplib/paramiko raise non-OSError exceptions for
+            # a missing temp)
             try:
                 self.delete(tmp)
-            except OSError:
+            except Exception:
                 pass
             raise
 
@@ -392,10 +395,10 @@ class FTPFileManager(FileManager):
             return self.exists(path)
 
     def open_read(self, path: str):
-        buf = io.BytesIO()
-        self.ftp.retrbinary(f"RETR {path}", buf.write)
-        buf.seek(0)
-        return buf
+        # STREAMING read via the raw transfer socket — retrbinary would
+        # buffer the whole remote file in memory before the copy starts
+        conn = self.ftp.transfercmd(f"RETR {path}")
+        return _FTPReadStream(self.ftp, conn)
 
     def write_bytes_to(self, path: str, stream) -> int:
         pos = stream.tell() if stream.seekable() else None
@@ -421,6 +424,41 @@ class FTPFileManager(FileManager):
 
     def rename(self, src: str, dst: str) -> None:
         self.ftp.rename(src, dst)
+
+
+class _FTPReadStream:
+    """File-like over an FTP data connection: chunked reads, no
+    whole-file buffering; close() drains the control-channel response
+    so the session stays usable for the next command."""
+
+    def __init__(self, ftp, conn):
+        self._ftp, self._conn = ftp, conn
+        self._fh = conn.makefile("rb")
+
+    def read(self, n=-1):
+        return self._fh.read(n)
+
+    def seekable(self):
+        return False
+
+    def close(self):
+        try:
+            self._fh.close()
+        finally:
+            try:
+                self._conn.close()
+            finally:
+                try:
+                    self._ftp.voidresp()
+                except Exception:
+                    pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 class SFTPFileManager(FileManager):

@@ -66,8 +66,11 @@ class LineageRecorder:
         # be permanently invisible and never repaired.
         if "pipeline" not in self.table.schema().fieldNames():
             self.table.add_column("pipeline", "string")
-        existing = self.table.read_pandas()
-        if len(existing) and existing["pipeline"].isna().any():
+        # probe just the one column first: the steady state (no NULLs)
+        # must not load the full history on every recorder construction
+        probe = self.table.read_pandas(columns=["pipeline"])
+        if len(probe) and probe["pipeline"].isna().any():
+            existing = self.table.read_pandas()
             existing["pipeline"] = existing["pipeline"].fillna(legacy_owner)
             self.table.overwrite_pandas(
                 existing, {"backfill": f"pipeline<-{legacy_owner} (legacy rows)"}

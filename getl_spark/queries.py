@@ -1290,6 +1290,8 @@ def q_ann_index_topk(spark, sf_dir):
     and the probe reads ONLY the probed cells' buckets (manifest
     pruning) — so the one-shot oracle pins the service-shaped path
     too. sha-centroid mode (train=False) keeps the SQL static."""
+    import atexit
+    import shutil
     import tempfile
 
     from getl_spark.annindex import AnnIndex
@@ -1297,10 +1299,11 @@ def q_ann_index_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    idx = AnnIndex(
-        tempfile.mkdtemp(prefix="ann_idx_q_"), dim=_ANN_DIM,
-        n_centroids=_IVF_CELLS, seed=_IVF_SEED,
-    )
+    wh = tempfile.mkdtemp(prefix="ann_idx_q_")
+    # the returned DataFrame lazily reads the index files, so cleanup
+    # must outlive the call — remove at interpreter exit
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    idx = AnnIndex(wh, dim=_ANN_DIM, n_centroids=_IVF_CELLS, seed=_IVF_SEED)
     idx.build(spark, emb, train=False)
     return idx.search(spark, emb.filter("vec_id < 5"), k=_ANN_K, n_probe=_IVF_PROBE)
 

@@ -130,3 +130,31 @@ class TestResolveAndRegister:
         assert out.returncode == 0, out.stderr[-2000:]
         res = json.loads(out.stdout.strip().splitlines()[-1])
         assert res["echoed"] == ["region=emea", "total=15"]
+
+    def test_script_cli_skips_unused_unreachable_tables(self, spark, tmp_path):
+        """A shared config may name JDBC sources this job cannot reach;
+        registration is on-demand, so a script that never uses them
+        still runs."""
+        import subprocess
+        import sys
+
+        pq = str(tmp_path / "t")
+        spark.createDataFrame([(1,)], "x int").write.parquet(pq)
+        cfg = _write(tmp_path, "cfg.json", {
+            "connections": {"dead": {"type": "jdbc",
+                                     "url": "jdbc:derby://no.such.host:1527/nope"}},
+            "tables": {
+                "good_cfg": {"format": "parquet", "path": pq},
+                "dead_cfg": {"connection": "dead", "table": "accounts"},
+            },
+        })
+        scr = tmp_path / "job.sql"
+        scr.write_text("SET SELECT count(*) AS n FROM good_cfg;\nECHO n={n};\n")
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        out = subprocess.run(
+            [sys.executable, "-m", "getl_spark", "script",
+             "--file", str(scr), "--config", cfg],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert json.loads(out.stdout.strip().splitlines()[-1])["echoed"] == ["n=1"]

@@ -251,10 +251,22 @@ class _FakeFTP:
             return len(self.store[k])
         raise ftplib.error_perm("550 not a file")
 
-    def retrbinary(self, cmd, cb):
+    def transfercmd(self, cmd):
         self.log.append(cmd)
         k = cmd.split(" ", 1)[1].strip("/")
-        cb(self.store[k])
+        data = self.store[k]
+
+        class _Conn:
+            def makefile(inner, mode):
+                return io.BytesIO(data)
+
+            def close(inner):
+                pass
+
+        return _Conn()
+
+    def voidresp(self):
+        self.log.append("voidresp")
 
     def storbinary(self, cmd, fh):
         self.log.append(cmd)
