@@ -24,6 +24,22 @@ import sys
 import time
 
 
+def _manager_arg(value, config_paths):
+    """--src-manager/--dest-manager: inline JSON spec, or a manager
+    NAME resolved from --config's managers section."""
+    if not value:
+        return None
+    if value.lstrip().startswith("{"):
+        return json.loads(value)
+    from getl_spark.config import ConfigRegistry
+
+    if not config_paths:
+        raise SystemExit(
+            f"manager {value!r} is a name, but no --config was given"
+        )
+    return ConfigRegistry.load(*config_paths).manager(value)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="getl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -97,6 +113,11 @@ def main(argv=None):
     cpf.add_argument(
         "--dest-manager", default=None,
         help="destination filesystem manager spec as JSON (default: local)",
+    )
+    cpf.add_argument(
+        "--config", action="append", default=[], metavar="FILE[;FILE...]",
+        help="JSON config file(s); --src-manager/--dest-manager may then "
+        "be a NAME from the config's managers section",
     )
 
     dd = sub.add_parser(
@@ -339,8 +360,8 @@ def main(argv=None):
             delete_source=args.move,
             number_attempts=args.attempts,
             story=story_df,
-            src_manager=json.loads(args.src_manager) if args.src_manager else None,
-            dest_manager=json.loads(args.dest_manager) if args.dest_manager else None,
+            src_manager=_manager_arg(args.src_manager, args.config),
+            dest_manager=_manager_arg(args.dest_manager, args.config),
         )
         ok = res.filter(F.col("ok"))
         n_copies, n_fail = ok.count(), res.filter(~F.col("ok")).count()
