@@ -135,6 +135,11 @@ def main(argv=None):
     dd.add_argument("--max-bucket", type=int, default=None)
     dd.add_argument("--out", default=None, help="write kept docs to this parquet dir")
     dd.add_argument(
+        "--winnow", action="store_true",
+        help="also maintain the winnow (MOSS) fingerprint index — catches "
+        "shared boilerplate spans that global-Jaccard banding misses",
+    )
+    dd.add_argument(
         "--allow-unordered", action="store_true",
         help="skip the monotonic-id guard (batch==incremental equality "
         "is only guaranteed with ingest-ordered ids)",
@@ -309,6 +314,7 @@ def main(argv=None):
             bands=args.bands,
             threshold=args.threshold,
             max_bucket=args.max_bucket,
+            winnow={"k": 8, "w": 4, "min_shared": 2} if args.winnow else None,
         )
         batch = spark.read.parquet(args.docs)
         n_in = batch.count()

@@ -63,12 +63,18 @@ class DedupStore:
         hash_fn: str = "xxhash64",
         max_bucket: int | None = None,
         num_buckets: int = 32,
+        winnow: dict | None = None,
     ):
         self.cfg = {
             "num_hashes": int(num_hashes), "bands": int(bands),
             "shingle_words": int(shingle_words), "threshold": float(threshold),
             "hash_fn": hash_fn,
             "max_bucket": None if max_bucket is None else int(max_bucket),
+            "winnow": None if winnow is None else {
+                "k": int(winnow.get("k", 8)),
+                "w": int(winnow.get("w", 4)),
+                "min_shared": int(winnow.get("min_shared", 2)),
+            },
         }
         self.max_bucket = max_bucket
         cat = LakeCatalog(warehouse)
@@ -84,6 +90,18 @@ class DedupStore:
             PartitionSpec.bucket(num_buckets, "doc_id"),
             if_not_exists=True,
         )
+        # optional second candidate generator: winnowed (MOSS)
+        # fingerprints catch shared boilerplate SPANS that global
+        # Jaccard banding misses — complementary, same capped-equi-join
+        # scale shape. Its index persists beside the MinHash one.
+        self.winnow_index = None
+        if self.cfg["winnow"] is not None:
+            self.winnow_index = cat.create_table(
+                "_dedup_winnow",
+                parse_ddl("doc_id bigint, h bigint"),
+                PartitionSpec.bucket(num_buckets, "h"),
+                if_not_exists=True,
+            )
         for snap in self.index.meta["snapshots"]:
             summ = snap.get("summary", {})
             if "num_hashes" not in summ:
@@ -178,6 +196,43 @@ class DedupStore:
             .distinct()
         )
 
+        new_fp = None
+        if self.winnow_index is not None:
+            from getl_spark.functions.text import winnow as _winnow
+
+            wc = self.cfg["winnow"]
+            new_fp = (
+                _winnow(d, text_col, id_col, k=wc["k"], w=wc["w"],
+                        hash_fn=self.cfg["hash_fn"])
+                .select(F.col(id_col).cast("bigint").alias("doc_id"), "h")
+                .distinct()
+            )
+            self.winnow_index.refresh()
+            have_fp = self.winnow_index.count_rows() > 0
+            all_fp = (
+                self.winnow_index.read(spark).unionByName(new_fp)
+                if have_fp
+                else new_fp
+            )
+            all_fp = _cap_buckets(all_fp, ["h"], self.max_bucket)
+            fa, fb = all_fp.alias("a"), all_fp.alias("b")
+            wpairs = (
+                fa.join(
+                    fb,
+                    (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .groupBy(
+                    F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"),
+                )
+                .agg(F.count(F.lit(1)).alias("_shared"))
+                .filter(F.col("_shared") >= wc["min_shared"])
+                .select("a_id", "b_id")
+                .join(new_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi")
+            )
+            pairs = pairs.unionByName(wpairs).distinct()
+
         # verify on texts of exactly the docs the pairs touch
         new_texts = d.select(
             F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text")
@@ -212,5 +267,14 @@ class DedupStore:
                 self.docs.read(spark).select("doc_id"), "doc_id", "left_anti"
             )
         self.docs.append(texts_to_add, {"op": "add_batch"})
+        if new_fp is not None:
+            fp_to_add = new_fp
+            if self.winnow_index.count_rows() > 0:
+                fp_to_add = new_fp.join(
+                    self.winnow_index.read(spark).select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+            self.winnow_index.append(fp_to_add, {"op": "add_batch"})
         self.index.append(new_banded, {"op": "add_batch", **self.cfg})
         return kept

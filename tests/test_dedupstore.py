@@ -115,3 +115,69 @@ def test_dedup_cli_two_batches(spark, corpus, tmp_path):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "out2")).collect()
     }
     assert kept2 == {102}  # 101 near-dups doc 1, 103 near-dups doc 4
+
+
+def test_winnow_index_catches_cross_batch_boilerplate(spark, tmp_path):
+    """MinHash/winnow dual-index store: a shared boilerplate SPAN
+    (low global Jaccard — LSH-blind) in a LATER batch is caught
+    against the standing winnow index; union of incremental outputs
+    equals the one-shot pairwise drop over (minhash + winnow)
+    candidates."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    span = " ".join(f"b{i}" for i in range(14))  # 14-word boilerplate
+
+    def doc(n=40, with_span=False):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        t = " ".join(words)
+        return f"{span} {t}" if with_span else t
+
+    rows = [
+        (1, doc(with_span=True)),
+        (2, doc()),
+        (3, doc()),
+        (101, doc(with_span=True)),  # shares ONLY the span with doc 1
+        (102, doc()),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    params = dict(num_hashes=32, bands=16, threshold=0.1)
+    wc = {"k": 4, "w": 4, "min_shared": 2}
+
+    # one-shot reference: pairwise drop over BOTH candidate sources
+    cand = (
+        dedupe.lsh_candidate_pairs(corpus, num_hashes=32, bands=16)
+        .unionByName(
+            dedupe.winnow_candidate_pairs(
+                corpus, k=wc["k"], w=wc["w"], min_shared=wc["min_shared"]
+            ).select("a_id", "b_id")
+        )
+        .distinct()
+    )
+    one_shot = sorted(
+        r.doc_id
+        for r in dedupe._drop_verified(
+            corpus, cand, "text", "doc_id", 0.1, transitive=False
+        ).collect()
+    )
+    assert 101 not in one_shot, "boilerplate span must be caught by winnow"
+
+    # minhash alone must MISS it (proves the winnow index is load-bearing)
+    mh_only = DedupStore(str(tmp_path / "whmh"), **params)
+    mh_kept = []
+    for lo, hi in [(0, 100), (100, 200)]:
+        batch = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        mh_kept += [r.doc_id for r in mh_only.add_batch(spark, batch).collect()]
+    assert 101 in mh_kept
+
+    store = DedupStore(str(tmp_path / "wh"), winnow=wc, **params)
+    kept = []
+    for lo, hi in [(0, 100), (100, 200)]:
+        batch = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        kept += [r.doc_id for r in store.add_batch(spark, batch).collect()]
+    assert sorted(kept) == one_shot
+
+    # reopening without the winnow config fails loudly
+    with pytest.raises(ValueError, match="config mismatch"):
+        DedupStore(str(tmp_path / "wh"), **params)
