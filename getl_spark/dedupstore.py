@@ -278,3 +278,176 @@ class DedupStore:
             self.winnow_index.append(fp_to_add, {"op": "add_batch"})
         self.index.append(new_banded, {"op": "add_batch", **self.cfg})
         return kept
+
+
+class EmbDedupStore:
+    """Incremental EMBEDDING near-dedup — :class:`DedupStore`'s shape
+    applied to vectors: every vector's hyperplane-LSH bucket rows
+    (same integer-exact math as
+    :func:`getl_spark.functions.simsearch.embedding_near_dups`)
+    persist in a lake table beside the vectors themselves; a new batch
+    is bucketed once, joined against the standing index + itself for
+    candidates, exact-cosine verified, and appended. Per-batch cost is
+    O(new vectors + touched buckets), not O(corpus).
+
+    Same contracts as the text store: with ingest-ordered ids and
+    ``max_bucket=None`` the union of ``add_batch`` outputs equals the
+    one-shot pairwise drop over ``embedding_near_dups`` pairs; with a
+    cap the incremental run is strictly more aggressive (pairs are
+    judged before their bucket can cross the cap). The VECTORS table
+    commit is the batch's done marker (bucket index appended first,
+    anti-joined to heal partial crashes).
+    """
+
+    def __init__(
+        self,
+        warehouse: str,
+        dim: int,
+        threshold: float = 0.95,
+        n_bits: int = 12,
+        n_tables: int = 4,
+        seed: int = 99,
+        max_bucket: int | None = 1000,
+        num_buckets: int = 32,
+    ):
+        self.cfg = {
+            "dim": int(dim), "threshold": float(threshold),
+            "n_bits": int(n_bits), "n_tables": int(n_tables),
+            "seed": int(seed),
+            "max_bucket": None if max_bucket is None else int(max_bucket),
+        }
+        self.max_bucket = max_bucket
+        cat = LakeCatalog(warehouse)
+        self.buckets = cat.create_table(
+            "_embdedup_buckets",
+            parse_ddl("vec_id bigint, tbl int, bucket bigint"),
+            PartitionSpec.bucket(num_buckets, "bucket"),
+            if_not_exists=True,
+        )
+        self.vectors = cat.create_table(
+            "_embdedup_vectors",
+            parse_ddl("vec_id bigint, embedding array<double>"),
+            PartitionSpec.bucket(num_buckets, "vec_id"),
+            if_not_exists=True,
+        )
+        for snap in self.buckets.meta["snapshots"]:
+            summ = snap.get("summary", {})
+            if "n_bits" not in summ:
+                continue
+            mismatch = {
+                k: (summ.get(k), self.cfg[k])
+                for k in self.cfg
+                if summ.get(k) != self.cfg[k]
+            }
+            if mismatch:
+                raise ValueError(
+                    f"EmbDedupStore config mismatch vs existing index: {mismatch}"
+                )
+            break
+
+    def corpus_size(self) -> int:
+        return self.vectors.count_rows()
+
+    def add_batch(
+        self,
+        spark: SparkSession,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        require_monotonic: bool = True,
+    ) -> DataFrame:
+        """Dedup ``vectors`` against the standing corpus + themselves;
+        persist their bucket rows + vectors; return the KEPT new rows
+        (original columns)."""
+        from getl_spark.functions.simsearch import _bucketed, cosine
+
+        d = vectors.withColumn("_vid", F.col(id_col).cast("bigint"))
+        self.buckets.refresh()
+        self.vectors.refresh()
+        have_vecs = self.vectors.count_rows() > 0
+        have_idx = self.buckets.count_rows() > 0
+        if have_vecs:
+            d = d.join(
+                self.vectors.read(spark).select(F.col("vec_id").alias("_vid")),
+                "_vid",
+                "left_anti",
+            )
+        d = d.drop("_vid")
+
+        if require_monotonic and have_vecs:
+            hi = self.vectors.read(spark).agg(F.max("vec_id")).collect()[0][0]
+            lo = d.agg(F.min(F.col(id_col).cast("bigint"))).collect()[0][0]
+            if lo is not None and hi is not None and lo <= hi:
+                raise ValueError(
+                    f"add_batch: new ids must exceed all stored ids (new min "
+                    f"{lo} <= stored max {hi}); pass require_monotonic=False "
+                    "to override"
+                )
+
+        new_b = _bucketed(
+            d, id_col, vec_col, "vec_id",
+            self.cfg["dim"], self.cfg["n_bits"], self.cfg["n_tables"],
+            self.cfg["seed"],
+        ).select(F.col("vec_id").cast("bigint"), "tbl", "bucket")
+        all_b = (
+            self.buckets.read(spark).unionByName(new_b) if have_idx else new_b
+        )
+        capped = _cap_buckets(all_b, ["tbl", "bucket"], self.max_bucket)
+        new_ids = new_b.select("vec_id").distinct()
+        a, b = capped.alias("a"), capped.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+            .join(new_ids.withColumnRenamed("vec_id", "b_id"), "b_id", "left_semi")
+            .distinct()
+        )
+
+        new_vecs = d.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+        vecs = (
+            self.vectors.read(spark).unionByName(new_vecs)
+            if have_vecs
+            else new_vecs
+        )
+        touched = (
+            pairs.select(F.col("a_id").alias("vec_id"))
+            .unionByName(pairs.select(F.col("b_id").alias("vec_id")))
+            .distinct()
+        )
+        vecs = vecs.join(touched, "vec_id", "left_semi")
+        av = vecs.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+        bv = vecs.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+        dropped = (
+            pairs.join(av, "a_id")
+            .join(bv, "b_id")
+            .filter(
+                F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4)
+                >= self.cfg["threshold"]
+            )
+            .select(F.col("b_id").alias("_drop"))
+            .distinct()
+        )
+        kept = d.join(
+            dropped, F.col(id_col).cast("bigint") == F.col("_drop"), "left_anti"
+        )
+
+        # bucket index first (anti-joined to heal a partial crash),
+        # vectors last — the vectors commit is the done marker the
+        # story filter and the monotonic guard key on
+        b_to_add = new_b
+        if have_idx:
+            b_to_add = new_b.join(
+                self.buckets.read(spark).select("vec_id").distinct(),
+                "vec_id",
+                "left_anti",
+            )
+        self.buckets.append(b_to_add, {"op": "add_batch", **self.cfg})
+        self.vectors.append(new_vecs, {"op": "add_batch"})
+        return kept

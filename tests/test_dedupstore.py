@@ -181,3 +181,39 @@ def test_winnow_index_catches_cross_batch_boilerplate(spark, tmp_path):
     # reopening without the winnow config fails loudly
     with pytest.raises(ValueError, match="config mismatch"):
         DedupStore(str(tmp_path / "wh"), **params)
+
+
+def test_embedding_store_incremental_equals_one_shot(spark, tmp_path):
+    """EmbDedupStore: union of add_batch outputs == one-shot pairwise
+    drop over embedding_near_dups pairs (same buckets, same verify),
+    with a seeded cross-batch near-dup caught against the standing
+    index."""
+    from getl_spark.dedupstore import EmbDedupStore
+    from getl_spark.functions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    params = dict(dim=64, threshold=0.3, n_bits=6, n_tables=4, seed=99,
+                  max_bucket=None)
+    pairs = simsearch.embedding_near_dups(
+        emb, threshold=0.3, id_col="vec_id", dim=64, n_bits=6, n_tables=4,
+        seed=99, max_bucket=None,
+    )
+    dropped = {r.b_id for r in pairs.collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    one_shot = sorted(all_ids - dropped)
+    assert dropped, "near-dup pairs must exist at threshold 0.3"
+
+    store = EmbDedupStore(str(tmp_path / "wh"), **params)
+    kept = []
+    # split so a seeded (i-1, i) perturbation pair crosses batches
+    for cond in ["vec_id <= 200", "vec_id > 200"]:
+        kept += [r.vec_id for r in store.add_batch(spark, emb.filter(cond)).collect()]
+    assert sorted(kept) == one_shot
+    assert store.corpus_size() == len(all_ids)
+
+    # resubmission is a story no-op; mismatched config fails loudly
+    assert store.add_batch(spark, emb.filter("vec_id <= 200")).count() == 0
+    with pytest.raises(ValueError, match="config mismatch"):
+        EmbDedupStore(str(tmp_path / "wh"), dim=64, threshold=0.3, n_bits=10)
