@@ -217,3 +217,39 @@ def test_embedding_store_incremental_equals_one_shot(spark, tmp_path):
     assert store.add_batch(spark, emb.filter("vec_id <= 200")).count() == 0
     with pytest.raises(ValueError, match="config mismatch"):
         EmbDedupStore(str(tmp_path / "wh"), dim=64, threshold=0.3, n_bits=10)
+
+
+def test_property_incremental_equals_one_shot_random_corpora(spark, tmp_path):
+    """Property check of the equality contract: random small corpora
+    (dup-heavy vocab so near-dups arise naturally), random 3-way batch
+    splits — union of add_batch outputs must equal the one-shot
+    pairwise kept set every time. Deterministic seeds; a found
+    counterexample prints its seed."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> heavy overlap
+        rows = [
+            (i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(6, 14))))
+            for i in range(24)
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+        params = dict(num_hashes=16, bands=8, threshold=0.5)
+        one_shot = sorted(
+            r.doc_id
+            for r in dedupe.near_dedup_minhash(
+                corpus, transitive=False, **params
+            ).collect()
+        )
+        cut1, cut2 = sorted(rng.sample(range(1, 24), 2))
+        store = DedupStore(str(tmp_path / f"wh{seed}"), **params)
+        kept = []
+        for lo, hi in [(0, cut1), (cut1, cut2), (cut2, 24)]:
+            batch = corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            kept += [r.doc_id for r in store.add_batch(spark, batch).collect()]
+        assert sorted(kept) == one_shot, (
+            f"seed={seed} split=({cut1},{cut2}): {sorted(kept)} != {one_shot}"
+        )
