@@ -205,3 +205,34 @@ class AnnIndex:
             .filter(F.col("rnk") <= int(k))
             .drop("rnk")
         )
+
+    # -- maintenance -------------------------------------------------
+    def compact(self, spark: SparkSession) -> dict:
+        """Small-file compaction for append-heavy indexes: each
+        ``append`` adds a file per touched bucket, and probe latency
+        tracks files-per-probed-bucket — fold them periodically (the
+        lake's binpack rewrite; bucket-local, so untouched cells'
+        files are not rewritten)."""
+        self.table.refresh()
+        return self.table.compact(spark)
+
+    def stats(self, spark: SparkSession) -> dict:
+        """Operational shape of the index: rows, occupied cells, data
+        files, and the max files behind any single bucket (the probe
+        latency driver compact() resets)."""
+        self._require_built()
+        self.table.refresh()
+        files = list(self.table.current_files())
+        per_bucket: dict[int, int] = {}
+        for f in files:
+            b = f.get("bucket")
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+        cells = self.table.read(spark).select("cell").distinct().count()
+        return {
+            "rows": self.table.count_rows(),
+            "cells_occupied": cells,
+            "n_centroids": self.n_centroids,
+            "data_files": len(files),
+            "max_files_per_bucket": max(per_bucket.values(), default=0),
+            "trained": bool(self.centroids is not None),
+        }

@@ -93,3 +93,22 @@ def test_unbuilt_index_raises(spark, emb, tmp_path):
     idx = AnnIndex(str(tmp_path / "wh"), dim=64)
     with pytest.raises(ValueError, match="not built"):
         idx.search(spark, emb.limit(1))
+
+
+def test_append_then_compact_preserves_results(spark, emb, tmp_path):
+    """Appends fragment buckets (one file per touched bucket per
+    batch); compact() folds them and probes return identical results."""
+    idx = AnnIndex(str(tmp_path / "wh"), dim=64, n_centroids=16)
+    idx.build(spark, emb.filter("vec_id < 400"), train=True)
+    for lo, hi in [(400, 450), (450, 500)]:
+        idx.append(spark, emb.filter(f"vec_id >= {lo} AND vec_id < {hi}"))
+    before = idx.stats(spark)
+    assert before["rows"] == 500
+    queries = emb.filter("vec_id < 5")
+    res_before = _pairs(idx.search(spark, queries, k=5, n_probe=16))
+    idx.compact(spark)
+    after = idx.stats(spark)
+    assert after["rows"] == 500
+    assert after["data_files"] < before["data_files"]
+    assert after["max_files_per_bucket"] == 1
+    assert _pairs(idx.search(spark, queries, k=5, n_probe=16)) == res_before
