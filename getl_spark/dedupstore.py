@@ -5,7 +5,33 @@ MinHash LSH index rows of every document ever seen persist in a lake
 table, and each new batch is (a) banded once, (b) joined against the
 standing index + itself for candidates, (c) Jaccard-verified, (d)
 appended to the index. Cost per batch is O(new docs + touched
-buckets), not O(corpus).
+buckets), not O(corpus) — and as of round 6 the implementation
+actually delivers that bound on the contract path:
+
+- **Story filter / monotonic guard** read NO data at all: every
+  append stamps ``max_doc_id`` into its snapshot summary, so the
+  high-watermark is driver-side metadata (the same mechanism as the
+  CDC checkpoint). Already-committed ids are skipped by
+  ``id > watermark`` — zero Spark jobs. A replayed batch whose ids
+  sit below the watermark is distinguished from a monotonicity
+  violation by a membership probe against the docs table pruned to
+  the batch ids' storage buckets (manifest pruning; runs only on
+  replays).
+- **Candidate join** touches only TOUCHED buckets: the new batch's
+  distinct ``(band_id, band_hash)`` set is broadcast and the stored
+  index is left-semi filtered on it — a map-side filter, so the
+  stored side is never shuffled — after a manifest-level prune to
+  the storage buckets those keys hash to. The cap window and the
+  pair join then see O(new + touched-bucket) rows. Per-bucket counts
+  stay exact because the semi filter keeps WHOLE buckets (the filter
+  key IS the bucket key), so no separate bucket-stats table is
+  needed for `_cap_buckets` correctness.
+- **Crash heal** is metadata-triggered: each batch carries a token
+  stamped into every table's summary; a docs/winnow snapshot whose
+  token never reached the index table (and whose ids exceed the
+  index watermark) marks a crashed tail, and only then does the heal
+  anti-join run — against a bucket-pruned, id-range-filtered read.
+  The hot path runs no heal scan at all.
 
 Reference analog: getl's story-table exactly-once skip
 (/root/reference/src/main/groovy/getl/files/Manager.groovy:936-948)
@@ -21,7 +47,10 @@ earlier one, and the banded candidate join over (stored + new) index
 rows reproduces exactly the one-shot join's pairs that touch a new
 doc. Dropped docs' signatures stay in the index on purpose: the
 one-shot pair set includes pairs whose lower id was itself dropped,
-so the incremental index must too.
+so the incremental index must too. The touched-bucket pruning does
+not perturb this: a pair whose higher id is new lives, by
+definition, in a bucket the new batch touches, and the semi filter
+keeps every stored member of each touched bucket.
 
 With ``max_bucket`` set, exact equality weakens to a one-sided
 guarantee: incremental is STRICTLY MORE AGGRESSIVE (a pair is judged
@@ -29,9 +58,22 @@ when its higher id arrives, before the bucket can cross the cap, so
 incremental finds every pair the one-shot capped run finds, plus
 pairs whose bucket only later became degenerate). The cap is part of
 the store's pinned config, so batches can't silently mix caps.
+
+``require_monotonic=False`` is the compatibility escape hatch: ids
+below the watermark are then legitimate new docs, so the story
+filter falls back to an anti-join against the standing index's id
+column (range-pruned to the batch's id span, but still a scan of the
+index id column — linear, documented). The O(new + touched) bound
+is a property of the contract path, as is batch==one-shot equality.
+
+Stores written before round 6 lack the summary stamps; they are
+detected (any data snapshot missing ``max_doc_id``/``batch``) and
+serviced through the same legacy scan path.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,13 +87,105 @@ from getl_spark.lake import LakeCatalog, PartitionSpec
 from getl_spark.schema import parse_ddl
 
 
+def _data_summaries(table) -> list[dict]:
+    """Summaries of snapshots that added rows (appends with content);
+    creation, empty-replay, and compaction snapshots don't count."""
+    out = []
+    for snap in table.meta["snapshots"]:
+        summ = snap.get("summary") or {}
+        if summ.get("added_rows", 0) > 0 and snap.get("operation") == "append":
+            out.append(summ)
+    return out
+
+
+def _watermark(table, key: str) -> tuple[int | None, bool]:
+    """(high-watermark, modern) from snapshot summaries — no scan.
+
+    ``modern`` is False when any data-bearing snapshot lacks the
+    watermark/token stamps (store written before round 6, or the
+    table was compacted by a rewrite that added rows) — callers then
+    fall back to the legacy scan path.
+    """
+    hi, modern = None, True
+    for snap in table.meta["snapshots"]:
+        summ = snap.get("summary") or {}
+        if summ.get("added_rows", 0) <= 0:
+            continue
+        if snap.get("operation") != "append":
+            modern = False
+            continue
+        m = summ.get(key)
+        if m is None or "batch" not in summ:
+            modern = False
+            continue
+        m = int(m)
+        if hi is None or m > hi:
+            hi = m
+    return hi, modern
+
+
+def _pending_tails(prior, done, key: str) -> list[dict]:
+    """Data summaries committed to ``prior`` whose batch token never
+    reached ``done`` AND whose ids exceed done's watermark — i.e.
+    crashed batches whose replay hasn't completed yet. Pure metadata.
+    """
+    done_toks = {s.get("batch") for s in _data_summaries(done)}
+    done_hi, _ = _watermark(done, key)
+    tails = []
+    for s in _data_summaries(prior):
+        tok = s.get("batch")
+        if tok is None or tok in done_toks:
+            continue
+        hi = s.get(key)
+        if hi is None or done_hi is None or int(hi) > done_hi:
+            tails.append(s)
+    return tails
+
+
+def _storage_buckets(df: DataFrame, table) -> list[int]:
+    """Distinct storage buckets the rows of ``df`` hash to under the
+    table's own partition transform — the driver-side input to
+    ``table.read(buckets=...)`` manifest pruning (same mechanism as
+    AnnIndex._buckets_for_cells). One small job over ``df``; at most
+    ``num_buckets`` values come back."""
+    spec = table.partition_spec
+    assert spec.kind == "bucket"
+    rows = df.select(spec.bucket_expr().cast("int").alias("_b")).distinct().collect()
+    return sorted({int(r["_b"]) for r in rows})
+
+
+def _plan_string(df: DataFrame) -> str:
+    """Physical-plan text for a not-yet-executed DataFrame (used by
+    the pruning assertions in tests); best-effort."""
+    try:
+        jqe = df._jdf.queryExecution()
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        return jqe.explainString(mode)
+    except Exception:
+        return ""
+
+
 class DedupStore:
     """Persisted MinHash LSH index + document texts in a lake
     warehouse. One store per (num_hashes, bands, shingle_words,
     hash_fn, threshold) configuration — the parameters are fixed at
     creation and written into the index table's first snapshot summary
     so a mismatched reopen fails loudly instead of silently mixing
-    incompatible signatures."""
+    incompatible signatures.
+
+    ``num_buckets`` sizes the storage bucketing that manifest pruning
+    keys on; at corpus scale it should be large enough that one
+    batch's band keys touch a small fraction of buckets (thousands on
+    a real cluster — default 64 here). Reopening an existing store
+    keeps the table's own stored spec.
+
+    After each ``add_batch`` call, ``last_batch_stats`` holds the
+    pruning evidence for that batch: which story path ran, how many
+    index files the candidate join read vs the table total, the
+    physical plan of the stored-side semi filter, and whether a heal
+    scan was needed.
+    """
 
     def __init__(
         self,
@@ -62,7 +196,7 @@ class DedupStore:
         threshold: float = 0.7,
         hash_fn: str = "xxhash64",
         max_bucket: int | None = None,
-        num_buckets: int = 32,
+        num_buckets: int = 64,
         winnow: dict | None = None,
     ):
         self.cfg = {
@@ -77,6 +211,7 @@ class DedupStore:
             },
         }
         self.max_bucket = max_bucket
+        self.last_batch_stats: dict = {}
         cat = LakeCatalog(warehouse)
         self.index = cat.create_table(
             "_dedup_index",
@@ -131,56 +266,125 @@ class DedupStore:
         """Dedup ``docs`` against the standing corpus + themselves;
         persist their signatures; return the KEPT new docs (original
         columns). Re-submitting already-indexed ids is a no-op for
-        them (story semantics)."""
-        d = docs.withColumn("_did", F.col(id_col).cast("bigint"))
+        them (story semantics). See the module docstring for the
+        per-batch cost contract and how each scan is pruned."""
         self.index.refresh()
         self.docs.refresh()
-        # the INDEX commit is the LAST step of a batch, so an id present
-        # there is fully committed — the story filter and the monotonic
-        # guard both key on it. Ids present in docs but missing from the
-        # index are a partial crash; they reprocess (and the docs append
-        # below anti-joins so they don't duplicate).
-        have_index = self.index.count_rows() > 0
-        have_docs = self.docs.count_rows() > 0
-        if have_index:
-            indexed_ids = self.index.read(spark).select(
-                F.col("doc_id").alias("_did")
-            ).distinct()
-            d = d.join(indexed_ids, "_did", "left_anti")
-        d = d.drop("_did")
+        if self.winnow_index is not None:
+            self.winnow_index.refresh()
+        stats = self.last_batch_stats = {"heal": False}
+        have_index = self.index.count_rows() > 0  # manifest stats, no scan
+        hi_index, modern = _watermark(self.index, "max_doc_id")
+        if modern:
+            _, modern = _watermark(self.docs, "max_doc_id")
+        fast = modern and require_monotonic
 
-        if require_monotonic and have_index:
-            hi = self.index.read(spark).agg(F.max("doc_id")).collect()[0][0]
-            lo = d.agg(F.min(F.col(id_col).cast("bigint"))).collect()[0][0]
-            if lo is not None and hi is not None and lo <= hi:
-                raise ValueError(
-                    f"add_batch: new ids must exceed all stored ids for the "
-                    f"batch==incremental equality contract (new min {lo} <= "
-                    f"stored max {hi}); pass require_monotonic=False to "
-                    "override"
+        did = F.col(id_col).cast("bigint")
+        row = docs.agg(F.min(did).alias("lo"), F.max(did).alias("hi")).collect()[0]
+        lo_raw, hi_raw = row["lo"], row["hi"]
+        if lo_raw is None:  # empty input
+            stats["story_path"] = "empty"
+            return docs
+
+        d = docs
+        if have_index and fast:
+            stats["story_path"] = "watermark"
+            if hi_index is not None and lo_raw <= hi_index:
+                # replay (ids already committed) or monotonicity
+                # violation (ids never seen) — membership probe against
+                # the docs table, pruned to the batch ids' storage
+                # buckets. The index commit is the done marker, but any
+                # id <= hi_index that IS committed necessarily reached
+                # the docs table first (docs append precedes index
+                # append), and any docs row <= hi_index belongs to a
+                # fully committed batch (a crashed tail's ids sit above
+                # hi_index under monotonic ingestion).
+                old_ids = d.filter(did <= hi_index).select(did.alias("doc_id"))
+                db = _storage_buckets(old_ids, self.docs)
+                present = self.docs.read(spark, buckets=db).select("doc_id")
+                missing = (
+                    old_ids.join(present, "doc_id", "left_anti").limit(1).collect()
                 )
+                if missing:
+                    raise ValueError(
+                        f"add_batch: new ids must exceed all stored ids for the "
+                        f"batch==incremental equality contract (new min {lo_raw} "
+                        f"<= stored max {hi_index}); pass "
+                        "require_monotonic=False to override"
+                    )
+                d = d.filter(did > hi_index)
+            if hi_index is not None and hi_raw <= hi_index:
+                # full replay of committed batches — story no-op
+                # (d is already filtered empty at this point)
+                stats["story_path"] = "watermark-replay-noop"
+                return d
+        elif have_index:
+            # legacy / non-monotonic path: true membership anti-join,
+            # range-pruned to the batch's id span (equality join — ids
+            # outside [lo, hi] can't match; still a scan of the index
+            # id column, see module docstring)
+            stats["story_path"] = "anti-join"
+            indexed_ids = (
+                self.index.read(spark)
+                .select(F.col("doc_id"))
+                .filter((F.col("doc_id") >= lo_raw) & (F.col("doc_id") <= hi_raw))
+                .distinct()
+                .withColumnRenamed("doc_id", "_did")
+            )
+            d = d.withColumn("_did", did).join(indexed_ids, "_did", "left_anti").drop("_did")
+            if require_monotonic:
+                hi = hi_index
+                if not modern:
+                    hi = self.index.read(spark).agg(F.max("doc_id")).collect()[0][0]
+                lo = d.agg(F.min(did)).collect()[0][0]
+                if lo is not None and hi is not None and lo <= hi:
+                    raise ValueError(
+                        f"add_batch: new ids must exceed all stored ids for the "
+                        f"batch==incremental equality contract (new min {lo} <= "
+                        f"stored max {hi}); pass require_monotonic=False to "
+                        "override"
+                    )
+        else:
+            stats["story_path"] = "first-batch"
+
+        batch_tok = uuid.uuid4().hex[:12]
+        batch_lo = lo_raw if not (fast and hi_index is not None and lo_raw <= hi_index) \
+            else hi_index + 1
+        batch_hi = hi_raw
+        stamp = {"op": "add_batch", "batch": batch_tok, "max_doc_id": int(batch_hi)}
 
         new_banded = minhash_banded_rows(
             d, text_col, id_col,
             self.cfg["num_hashes"], self.cfg["bands"],
             self.cfg["shingle_words"], self.cfg["hash_fn"],
-        ).select(F.col(id_col).cast("bigint").alias("doc_id"), "band_id", "band_hash")
+        ).select(did.alias("doc_id"), "band_id", "band_hash").persist()
+        new_ids = new_banded.select("doc_id").distinct()
 
         if have_index:
-            stored_banded = self.index.read(spark)
-            all_banded = stored_banded.unionByName(new_banded)
+            # touched-bucket pruning: manifest-prune the scan to the
+            # storage buckets the new band keys hash to, then broadcast
+            # the key set and left-semi filter map-side — the stored
+            # side is never shuffled, and the cap window + pair join
+            # below see only touched buckets' rows (whole buckets, so
+            # the cap's per-bucket counts stay exact).
+            new_keys = new_banded.select("band_id", "band_hash").distinct()
+            sb = _storage_buckets(new_keys, self.index)
+            files = self.index.current_files()
+            sbset = set(sb)
+            stats.update(
+                index_files_total=len(files),
+                index_files_read=sum(1 for f in files if f["bucket"] in sbset),
+                index_buckets_total=len({f["bucket"] for f in files}),
+                index_buckets_read=len(sb),
+            )
+            stored_touched = self.index.read(spark, buckets=sb).join(
+                F.broadcast(new_keys), ["band_id", "band_hash"], "left_semi"
+            )
+            stats["stored_semi_plan"] = _plan_string(stored_touched)
+            all_banded = stored_touched.unionByName(new_banded)
         else:
             all_banded = new_banded
-        # the cap window sees stored+new rows. With max_bucket=None
-        # (the equality contract's precondition) this reproduces the
-        # one-shot pair set exactly. With a cap, incremental dedup is
-        # STRICTLY MORE AGGRESSIVE than one-shot: a pair is judged when
-        # its higher id arrives, at which point the bucket holds a
-        # subset of its final membership — so every pair the one-shot
-        # run finds under the cap is found here too, plus pairs whose
-        # bucket only later crossed the cap (see class docstring).
         capped = _cap_buckets(all_banded, ["band_id", "band_hash"], self.max_bucket)
-        new_ids = new_banded.select("doc_id").distinct()
         a, b = capped.alias("a"), capped.alias("b")
         pairs = (
             a.join(
@@ -204,16 +408,20 @@ class DedupStore:
             new_fp = (
                 _winnow(d, text_col, id_col, k=wc["k"], w=wc["w"],
                         hash_fn=self.cfg["hash_fn"])
-                .select(F.col(id_col).cast("bigint").alias("doc_id"), "h")
+                .select(did.alias("doc_id"), "h")
                 .distinct()
+                .persist()
             )
-            self.winnow_index.refresh()
             have_fp = self.winnow_index.count_rows() > 0
-            all_fp = (
-                self.winnow_index.read(spark).unionByName(new_fp)
-                if have_fp
-                else new_fp
-            )
+            if have_fp:
+                fp_keys = new_fp.select("h").distinct()
+                sbw = _storage_buckets(fp_keys, self.winnow_index)
+                stored_fp = self.winnow_index.read(spark, buckets=sbw).join(
+                    F.broadcast(fp_keys), ["h"], "left_semi"
+                )
+                all_fp = stored_fp.unionByName(new_fp)
+            else:
+                all_fp = new_fp
             all_fp = _cap_buckets(all_fp, ["h"], self.max_bucket)
             fa, fb = all_fp.alias("a"), all_fp.alias("b")
             wpairs = (
@@ -233,50 +441,75 @@ class DedupStore:
             )
             pairs = pairs.unionByName(wpairs).distinct()
 
-        # verify on texts of exactly the docs the pairs touch
-        new_texts = d.select(
-            F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text")
-        )
-        texts = (
-            self.docs.read(spark).unionByName(new_texts) if have_docs else new_texts
-        )
+        # verify on texts of exactly the docs the pairs touch; old
+        # docs' texts come from a read pruned to the touched ids'
+        # storage buckets (pairs is persisted — the candidate join
+        # runs once, here, for the bucket collection)
+        pairs = pairs.persist()
+        new_texts = d.select(did.alias("doc_id"), F.col(text_col).alias("text"))
         touched = (
             pairs.select(F.col("a_id").alias("doc_id"))
             .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
             .distinct()
         )
+        old_touched = touched.join(new_ids, "doc_id", "left_anti")
+        tb = _storage_buckets(old_touched, self.docs)
+        if tb:
+            old_texts = self.docs.read(spark, buckets=tb).join(
+                old_touched, "doc_id", "left_semi"
+            )
+            texts = old_texts.unionByName(new_texts)
+        else:
+            texts = new_texts
         texts = texts.join(touched, "doc_id", "left_semi")
         verified = jaccard_verify(
             texts, pairs, "text", "doc_id", self.cfg["shingle_words"],
             self.cfg["threshold"],
         )
         dropped = verified.select(F.col("b_id").alias("_drop")).distinct()
-        kept = d.join(
-            dropped, F.col(id_col).cast("bigint") == F.col("_drop"), "left_anti"
-        )
+        kept = d.join(dropped, did == F.col("_drop"), "left_anti")
 
         # persist AFTER computing, DOCS FIRST then INDEX: the index commit
         # is the batch's "done" marker (the story filter keys on it), so
         # a crash before it means the whole batch reprocesses — and the
-        # docs anti-join below heals a partial docs-only commit without
-        # duplicating rows. A crash before either append = the batch
-        # never happened.
+        # heal anti-join below de-duplicates a partial docs-only commit.
+        # The heal runs ONLY when snapshot metadata shows a crashed tail
+        # (a docs/winnow batch token that never reached the index).
         texts_to_add = new_texts
-        if have_docs:
-            texts_to_add = new_texts.join(
-                self.docs.read(spark).select("doc_id"), "doc_id", "left_anti"
+        heal = bool(_pending_tails(self.docs, self.index, "max_doc_id")) \
+            if modern else have_index
+        if heal:
+            stats["heal"] = True
+            # bucket + range pruning are both safe here regardless of
+            # path: the anti-join is an equality on doc_id, so rows in
+            # other storage buckets / outside the batch's id span can
+            # never match
+            hb = _storage_buckets(new_ids, self.docs)
+            already = (
+                self.docs.read(spark, buckets=hb)
+                .select("doc_id")
+                .filter((F.col("doc_id") >= batch_lo) & (F.col("doc_id") <= batch_hi))
             )
-        self.docs.append(texts_to_add, {"op": "add_batch"})
+            texts_to_add = new_texts.join(already, "doc_id", "left_anti")
+        self.docs.append(texts_to_add, dict(stamp))
         if new_fp is not None:
             fp_to_add = new_fp
-            if self.winnow_index.count_rows() > 0:
-                fp_to_add = new_fp.join(
-                    self.winnow_index.read(spark).select("doc_id").distinct(),
-                    "doc_id",
-                    "left_anti",
+            wheal = bool(_pending_tails(self.winnow_index, self.index, "max_doc_id")) \
+                if modern else self.winnow_index.count_rows() > 0
+            if wheal:
+                already_fp = (
+                    self.winnow_index.read(spark)
+                    .select("doc_id")
+                    .filter((F.col("doc_id") >= batch_lo) & (F.col("doc_id") <= batch_hi))
+                    .distinct()
                 )
-            self.winnow_index.append(fp_to_add, {"op": "add_batch"})
-        self.index.append(new_banded, {"op": "add_batch", **self.cfg})
+                fp_to_add = new_fp.join(already_fp, "doc_id", "left_anti")
+            self.winnow_index.append(fp_to_add, dict(stamp))
+        self.index.append(new_banded, {**stamp, **self.cfg})
+        new_banded.unpersist()
+        pairs.unpersist()
+        if new_fp is not None:
+            new_fp.unpersist()
         return kept
 
 
@@ -288,7 +521,9 @@ class EmbDedupStore:
     persist in a lake table beside the vectors themselves; a new batch
     is bucketed once, joined against the standing index + itself for
     candidates, exact-cosine verified, and appended. Per-batch cost is
-    O(new vectors + touched buckets), not O(corpus).
+    O(new vectors + touched buckets), not O(corpus) — via the same
+    watermark story filter, broadcast-semi touched-bucket pruning, and
+    token-triggered heal as the text store (module docstring).
 
     Same contracts as the text store: with ingest-ordered ids and
     ``max_bucket=None`` the union of ``add_batch`` outputs equals the
@@ -296,7 +531,7 @@ class EmbDedupStore:
     cap the incremental run is strictly more aggressive (pairs are
     judged before their bucket can cross the cap). The VECTORS table
     commit is the batch's done marker (bucket index appended first,
-    anti-joined to heal partial crashes).
+    healed on replay when a crashed tail is detected).
     """
 
     def __init__(
@@ -308,7 +543,7 @@ class EmbDedupStore:
         n_tables: int = 4,
         seed: int = 99,
         max_bucket: int | None = 1000,
-        num_buckets: int = 32,
+        num_buckets: int = 64,
     ):
         self.cfg = {
             "dim": int(dim), "threshold": float(threshold),
@@ -317,6 +552,7 @@ class EmbDedupStore:
             "max_bucket": None if max_bucket is None else int(max_bucket),
         }
         self.max_bucket = max_bucket
+        self.last_batch_stats: dict = {}
         cat = LakeCatalog(warehouse)
         self.buckets = cat.create_table(
             "_embdedup_buckets",
@@ -361,39 +597,98 @@ class EmbDedupStore:
         (original columns)."""
         from getl_spark.functions.simsearch import _bucketed, cosine
 
-        d = vectors.withColumn("_vid", F.col(id_col).cast("bigint"))
         self.buckets.refresh()
         self.vectors.refresh()
+        stats = self.last_batch_stats = {"heal": False}
         have_vecs = self.vectors.count_rows() > 0
         have_idx = self.buckets.count_rows() > 0
-        if have_vecs:
-            d = d.join(
-                self.vectors.read(spark).select(F.col("vec_id").alias("_vid")),
-                "_vid",
-                "left_anti",
-            )
-        d = d.drop("_vid")
+        hi_vec, modern = _watermark(self.vectors, "max_vec_id")
+        if modern:
+            _, modern = _watermark(self.buckets, "max_vec_id")
+        fast = modern and require_monotonic
 
-        if require_monotonic and have_vecs:
-            hi = self.vectors.read(spark).agg(F.max("vec_id")).collect()[0][0]
-            lo = d.agg(F.min(F.col(id_col).cast("bigint"))).collect()[0][0]
-            if lo is not None and hi is not None and lo <= hi:
-                raise ValueError(
-                    f"add_batch: new ids must exceed all stored ids (new min "
-                    f"{lo} <= stored max {hi}); pass require_monotonic=False "
-                    "to override"
+        vid = F.col(id_col).cast("bigint")
+        row = vectors.agg(F.min(vid).alias("lo"), F.max(vid).alias("hi")).collect()[0]
+        lo_raw, hi_raw = row["lo"], row["hi"]
+        if lo_raw is None:
+            stats["story_path"] = "empty"
+            return vectors
+
+        d = vectors
+        if have_vecs and fast:
+            stats["story_path"] = "watermark"
+            if hi_vec is not None and lo_raw <= hi_vec:
+                old_ids = d.filter(vid <= hi_vec).select(vid.alias("vec_id"))
+                vb = _storage_buckets(old_ids, self.vectors)
+                present = self.vectors.read(spark, buckets=vb).select("vec_id")
+                missing = (
+                    old_ids.join(present, "vec_id", "left_anti").limit(1).collect()
                 )
+                if missing:
+                    raise ValueError(
+                        f"add_batch: new ids must exceed all stored ids (new min "
+                        f"{lo_raw} <= stored max {hi_vec}); pass "
+                        "require_monotonic=False to override"
+                    )
+                d = d.filter(vid > hi_vec)
+            if hi_vec is not None and hi_raw <= hi_vec:
+                stats["story_path"] = "watermark-replay-noop"
+                return d
+        elif have_vecs:
+            stats["story_path"] = "anti-join"
+            stored_ids = (
+                self.vectors.read(spark)
+                .select("vec_id")
+                .filter((F.col("vec_id") >= lo_raw) & (F.col("vec_id") <= hi_raw))
+                .withColumnRenamed("vec_id", "_vid")
+            )
+            d = d.withColumn("_vid", vid).join(stored_ids, "_vid", "left_anti").drop("_vid")
+            if require_monotonic:
+                hi = hi_vec
+                if not modern:
+                    hi = self.vectors.read(spark).agg(F.max("vec_id")).collect()[0][0]
+                lo = d.agg(F.min(vid)).collect()[0][0]
+                if lo is not None and hi is not None and lo <= hi:
+                    raise ValueError(
+                        f"add_batch: new ids must exceed all stored ids (new min "
+                        f"{lo} <= stored max {hi}); pass require_monotonic=False "
+                        "to override"
+                    )
+        else:
+            stats["story_path"] = "first-batch"
+
+        batch_tok = uuid.uuid4().hex[:12]
+        batch_lo = lo_raw if not (fast and hi_vec is not None and lo_raw <= hi_vec) \
+            else hi_vec + 1
+        batch_hi = hi_raw
+        stamp = {"op": "add_batch", "batch": batch_tok, "max_vec_id": int(batch_hi)}
 
         new_b = _bucketed(
             d, id_col, vec_col, "vec_id",
             self.cfg["dim"], self.cfg["n_bits"], self.cfg["n_tables"],
             self.cfg["seed"],
-        ).select(F.col("vec_id").cast("bigint"), "tbl", "bucket")
-        all_b = (
-            self.buckets.read(spark).unionByName(new_b) if have_idx else new_b
-        )
-        capped = _cap_buckets(all_b, ["tbl", "bucket"], self.max_bucket)
+        ).select(F.col("vec_id").cast("bigint"), "tbl", "bucket").persist()
         new_ids = new_b.select("vec_id").distinct()
+
+        if have_idx:
+            new_keys = new_b.select("tbl", "bucket").distinct()
+            sb = _storage_buckets(new_keys, self.buckets)
+            files = self.buckets.current_files()
+            sbset = set(sb)
+            stats.update(
+                index_files_total=len(files),
+                index_files_read=sum(1 for f in files if f["bucket"] in sbset),
+                index_buckets_total=len({f["bucket"] for f in files}),
+                index_buckets_read=len(sb),
+            )
+            stored_touched = self.buckets.read(spark, buckets=sb).join(
+                F.broadcast(new_keys), ["tbl", "bucket"], "left_semi"
+            )
+            stats["stored_semi_plan"] = _plan_string(stored_touched)
+            all_b = stored_touched.unionByName(new_b)
+        else:
+            all_b = new_b
+        capped = _cap_buckets(all_b, ["tbl", "bucket"], self.max_bucket)
         a, b = capped.alias("a"), capped.alias("b")
         pairs = (
             a.join(
@@ -405,22 +700,27 @@ class EmbDedupStore:
             .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
             .join(new_ids.withColumnRenamed("vec_id", "b_id"), "b_id", "left_semi")
             .distinct()
+            .persist()
         )
 
         new_vecs = d.select(
-            F.col(id_col).cast("bigint").alias("vec_id"),
+            vid.alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("embedding"),
-        )
-        vecs = (
-            self.vectors.read(spark).unionByName(new_vecs)
-            if have_vecs
-            else new_vecs
         )
         touched = (
             pairs.select(F.col("a_id").alias("vec_id"))
             .unionByName(pairs.select(F.col("b_id").alias("vec_id")))
             .distinct()
         )
+        old_touched = touched.join(new_ids, "vec_id", "left_anti")
+        tb = _storage_buckets(old_touched, self.vectors)
+        if tb:
+            old_vecs = self.vectors.read(spark, buckets=tb).join(
+                old_touched, "vec_id", "left_semi"
+            )
+            vecs = old_vecs.unionByName(new_vecs)
+        else:
+            vecs = new_vecs
         vecs = vecs.join(touched, "vec_id", "left_semi")
         av = vecs.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
         bv = vecs.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
@@ -434,20 +734,26 @@ class EmbDedupStore:
             .select(F.col("b_id").alias("_drop"))
             .distinct()
         )
-        kept = d.join(
-            dropped, F.col(id_col).cast("bigint") == F.col("_drop"), "left_anti"
-        )
+        kept = d.join(dropped, vid == F.col("_drop"), "left_anti")
 
-        # bucket index first (anti-joined to heal a partial crash),
-        # vectors last — the vectors commit is the done marker the
-        # story filter and the monotonic guard key on
+        # bucket index first, vectors last — the vectors commit is the
+        # done marker the story filter keys on; a crashed tail (bucket
+        # rows whose token never reached the vectors table) triggers
+        # the heal anti-join on the NEXT run, detected from metadata
         b_to_add = new_b
-        if have_idx:
-            b_to_add = new_b.join(
-                self.buckets.read(spark).select("vec_id").distinct(),
-                "vec_id",
-                "left_anti",
+        heal = bool(_pending_tails(self.buckets, self.vectors, "max_vec_id")) \
+            if modern else have_idx
+        if heal:
+            stats["heal"] = True
+            already = (
+                self.buckets.read(spark)
+                .select("vec_id")
+                .filter((F.col("vec_id") >= batch_lo) & (F.col("vec_id") <= batch_hi))
+                .distinct()
             )
-        self.buckets.append(b_to_add, {"op": "add_batch", **self.cfg})
-        self.vectors.append(new_vecs, {"op": "add_batch"})
+            b_to_add = new_b.join(already, "vec_id", "left_anti")
+        self.buckets.append(b_to_add, {**stamp, **self.cfg})
+        self.vectors.append(new_vecs, dict(stamp))
+        new_b.unpersist()
+        pairs.unpersist()
         return kept

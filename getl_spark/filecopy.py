@@ -345,6 +345,16 @@ def copy_files(
                             except Exception as e:  # transient errors retry (OSError, ftplib/ssh errors)
                                 err = f"{type(e).__name__}: {e}"
                                 if attempt < attempts_n:
+                                    # a dropped control connection would
+                                    # otherwise poison every remaining
+                                    # attempt (connect() is a no-op on a
+                                    # live handle) — drop both sessions so
+                                    # the next attempt reconnects lazily
+                                    for m in (src, dst):
+                                        try:
+                                            m.close()
+                                        except Exception:
+                                            pass
                                     _t.sleep(sleep_s)
                         ok = err is None
                         all_ok = all_ok and ok

@@ -423,7 +423,19 @@ class FTPFileManager(FileManager):
         self.ftp.delete(path)
 
     def rename(self, src: str, dst: str) -> None:
-        self.ftp.rename(src, dst)
+        import ftplib
+
+        # many servers refuse RNTO onto an existing file; mirror the
+        # SFTP fallback so upload() can overwrite an already-landed
+        # destination (re-copy after a story gap / changed source)
+        try:
+            self.ftp.rename(src, dst)
+        except ftplib.error_perm:
+            try:
+                self.ftp.delete(dst)
+            except ftplib.error_perm:
+                pass  # dst absent — the original failure was real
+            self.ftp.rename(src, dst)
 
 
 class _FTPReadStream:

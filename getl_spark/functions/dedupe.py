@@ -591,20 +591,22 @@ def simhash_duplicates(
     band_bits: int = 16,
     hash_fn: str = "xxhash64",
     max_bucket: int | None = None,
-    hamming_k: int | None = None,
+    hamming_k: int | None = 8,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash matches on any band
     (Hamming-distance bucketing). ``max_bucket`` drops degenerate
     buckets (see _cap_buckets).
 
-    ``hamming_k`` adds the VERIFY stage: a pair matching one band can
+    ``hamming_k`` is the VERIFY stage: a pair matching one band can
     still differ in every other bit, so candidates are filtered on
     whole-signature Hamming distance ``bit_count(a ^ b) <= hamming_k``
     — then the output means what the operator's name says (pairs
     within Hamming k), not merely band-collision candidates. The
     signatures ride along the band explode (8 bytes/row), so the
     verify is a codegen filter on the join output — no second join,
-    no extra shuffle. ``None`` keeps the candidate-only behavior."""
+    no extra shuffle. Verified is the DEFAULT (k=8, matching the
+    driver oracle); pass ``None`` explicitly for the cheaper
+    candidates-only behavior (narrower shuffle rows, no carry)."""
     if hash_fn == "sha256":
         total_bits, band_bits = 60, min(band_bits, 15)
     else:

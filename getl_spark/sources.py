@@ -105,8 +105,26 @@ def _formatted_write_expr(col, field, spec):
             # ',' grouping + '.' decimal with the fraction width fixed
             # to the pattern's post-decimal digit count; one translate
             # maps both separator chars simultaneously (',' and '.'
-            # can swap roles without clobbering each other)
-            frac = len(fmt.split(".", 1)[1]) if fmt and "." in fmt else 0
+            # can swap roles without clobbering each other). With no
+            # decimal part in the pattern, frac comes from the column
+            # itself — a decimal's declared scale, 0 for integrals —
+            # so format_number never silently rounds fractional digits
+            # away; fractional floats without a pattern keep full
+            # precision via the ungrouped path below.
+            if fmt and "." in fmt:
+                frac = len(fmt.split(".", 1)[1])
+            elif t == "decimal":
+                frac = field.dataType.scale
+            elif t in ("integer", "long", "short", "byte"):
+                frac = 0
+            else:
+                raise ValueError(
+                    "field_formats: grouping_separator on a "
+                    f"{field.dataType.simpleString()} field '{field.name}' "
+                    "needs an explicit pattern with a decimal part "
+                    "(e.g. '#,##0.00') — the fraction width is otherwise "
+                    "unbounded and grouped output would have to round"
+                )
             s = F.translate(
                 F.format_number(col, frac), ",.", grp_sep + (dec_sep or ".")
             )

@@ -253,3 +253,82 @@ def test_property_incremental_equals_one_shot_random_corpora(spark, tmp_path):
         assert sorted(kept) == one_shot, (
             f"seed={seed} split=({cut1},{cut2}): {sorted(kept)} != {one_shot}"
         )
+
+
+def test_add_batch_prunes_index_scan(spark, tmp_path):
+    """VERDICT r5 #1: per-batch cost must be O(new + touched buckets).
+    Pin the three mechanisms: (a) the story filter runs on the summary
+    watermark, no data scan; (b) the candidate join's stored-index
+    read is manifest-pruned to a STRICT SUBSET of storage buckets and
+    files; (c) the semi filter against the broadcast key set is a
+    broadcast join — the stored side is never shuffled."""
+    rows = [
+        (i, f"document number {i} with some distinct words {i * 7} {i * 13} {i * 29}")
+        for i in range(200)
+    ]
+    seedc = spark.createDataFrame(rows, "doc_id bigint, text string")
+    store = DedupStore(
+        str(tmp_path / "wh"), num_hashes=16, bands=8, threshold=0.5, num_buckets=64
+    )
+    store.add_batch(spark, seedc).count()
+    one = spark.createDataFrame(
+        [(500, "document number 3 with some distinct words 21 39 87")],
+        "doc_id bigint, text string",
+    )
+    kept = store.add_batch(spark, one)
+    st = store.last_batch_stats
+    assert st["story_path"] == "watermark"
+    assert st["heal"] is False
+    assert 0 < st["index_buckets_read"] < st["index_buckets_total"], (
+        "a 1-doc batch (8 band keys) must read a strict subset of the "
+        f"64 storage buckets, got {st['index_buckets_read']}/"
+        f"{st['index_buckets_total']}"
+    )
+    assert st["index_files_read"] < st["index_files_total"]
+    plan = st["stored_semi_plan"]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the tree prints the stream (stored-scan) side before the
+    # BroadcastExchange build side; only the build side — the
+    # batch-sized key distinct — may shuffle
+    stream_side = plan.split("BroadcastExchange")[0]
+    assert "FileScan parquet" in stream_side, plan
+    assert "Exchange hashpartitioning" not in stream_side, (
+        "the stored-index side of the semi filter must not shuffle:\n" + plan
+    )
+    # and the pruned path still judged the near-dup correctly
+    assert _ids(kept) == []  # doc 500 duplicates doc 3 -> dropped
+
+
+def test_crash_between_docs_and_index_heals_on_replay(spark, corpus, tmp_path):
+    """Crash after the docs append but before the index commit: the
+    replay must (a) reprocess the batch (story filter keys on the
+    index watermark), (b) detect the crashed tail from snapshot
+    metadata alone and run the heal anti-join exactly once, (c) leave
+    no duplicate docs rows, (d) produce the same kept set as a clean
+    run."""
+    wh = str(tmp_path / "wh")
+    store = DedupStore(wh, **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100")).count()
+    batch2 = corpus.filter("doc_id >= 100 AND doc_id < 200")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the index commit")
+
+    store.index.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.add_batch(spark, batch2)
+
+    store2 = DedupStore(wh, **PARAMS)  # fresh handle = fresh process
+    kept2 = _ids(store2.add_batch(spark, batch2))
+    assert store2.last_batch_stats["heal"] is True
+    assert kept2 == [102]  # same as the clean path: 101~1, 103~4 dropped
+    docs_df = store2.docs.read(spark)
+    assert docs_df.count() == docs_df.select("doc_id").distinct().count(), (
+        "heal must not duplicate docs rows"
+    )
+    assert store2.corpus_size() == 7
+    # the tail is resolved by the replay's index commit — the next
+    # batch runs the zero-scan hot path again
+    store2.add_batch(spark, corpus.filter("doc_id >= 200")).count()
+    assert store2.last_batch_stats["heal"] is False
+    assert store2.last_batch_stats["story_path"] == "watermark"
