@@ -17,7 +17,18 @@ corpus on disk), and new vectors append with the stored centroids
   re-rank — cost tracks n_probe/n_centroids of the corpus;
 - append: assignment with the STORED centroids keeps cells disjoint
   and probes correct for the grown corpus (recall drifts only as the
-  data distribution drifts — retrain by rebuilding).
+  data distribution drifts — ``stats()`` quantifies the drift,
+  ``rebuild()`` retrains and swaps atomically).
+
+Crash atomicity: centroids live in a per-build sidecar
+``<name>.centroids.<build_id>.json``; the TABLE COMMIT of the build
+snapshot (which stamps the same ``build_id`` in its summary) is the
+single commit point. A crash after the sidecar write but before the
+table commit leaves the committed snapshot still pointing at the old
+build's sidecar, so probes keep pruning against the centroids the
+committed rows were actually assigned under — never a mixed state.
+Readers re-sync centroids to the committed build id after every
+``refresh()``, so a concurrent rebuild is picked up mid-handle.
 
 Reference note: the reference has no ANN machinery; this is part of
 the brief's training-data-pipeline surface (SURVEY "beyond the
@@ -28,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +47,7 @@ from pyspark.sql import functions as F
 from getl_spark.functions.simsearch import (
     _ivf_cells_udf,
     cosine,
+    cosine_topk,
     int_centroids,
     train_centroids,
 )
@@ -62,18 +75,83 @@ class AnnIndex:
             PartitionSpec.bucket(self.n_centroids, "cell"),
             if_not_exists=True,
         )
-        self._cent_path = os.path.join(warehouse, f"{name}.centroids.json")
         self.centroids: list[list[int]] | None = None
-        if os.path.exists(self._cent_path):
-            with open(self._cent_path) as fh:
-                doc = json.load(fh)
-            if doc["dim"] != self.dim or doc["n_centroids"] != self.n_centroids:
+        self.trained: bool = False
+        self.build_id: str | None = None
+        self.default_n_probe: int | None = None
+        self._sync_centroids()
+
+    # -- centroid sidecars -------------------------------------------
+    def _sidecar_path(self, build_id: str | None) -> str:
+        if build_id is None:  # pre-round-6 layout (no build id stamped)
+            return os.path.join(self.warehouse, f"{self.name}.centroids.json")
+        return os.path.join(
+            self.warehouse, f"{self.name}.centroids.{build_id}.json"
+        )
+
+    def _committed_build_id(self) -> str | None:
+        """Build id of the newest committed build snapshot (metadata
+        only). None for an empty table or a pre-round-6 index."""
+        for snap in reversed(self.table.meta["snapshots"]):
+            bid = (snap.get("summary") or {}).get("build_id")
+            if bid is not None:
+                return str(bid)
+        return None
+
+    def _sync_centroids(self) -> None:
+        """Load the centroids the COMMITTED snapshot was built under.
+        No-op when the handle already holds that build."""
+        bid = self._committed_build_id()
+        path = self._sidecar_path(bid)
+        if bid is not None and bid == self.build_id:
+            return
+        if not os.path.exists(path):
+            if bid is not None:
                 raise ValueError(
-                    f"AnnIndex config mismatch vs stored index: stored "
-                    f"dim={doc['dim']} n_centroids={doc['n_centroids']}, "
-                    f"requested dim={self.dim} n_centroids={self.n_centroids}"
+                    f"AnnIndex {self.name!r}: committed build {bid} has no "
+                    f"centroids sidecar at {path} — the sidecar was removed "
+                    "out-of-band; rebuild the index"
                 )
-            self.centroids = doc["centroids"]
+            return  # never built (or legacy sidecar also absent)
+        with open(path) as fh:
+            doc = json.load(fh)
+        if doc["dim"] != self.dim or doc["n_centroids"] != self.n_centroids:
+            raise ValueError(
+                f"AnnIndex config mismatch vs stored index: stored "
+                f"dim={doc['dim']} n_centroids={doc['n_centroids']}, "
+                f"requested dim={self.dim} n_centroids={self.n_centroids}"
+            )
+        self.centroids = doc["centroids"]
+        self.trained = bool(doc.get("trained", False))
+        self.build_id = bid
+        self.default_n_probe = doc.get("default_n_probe")
+
+    def _update_sidecar(self, **fields) -> None:
+        """Atomically rewrite the current build's sidecar with extra
+        fields (e.g. a tuned default_n_probe)."""
+        path = self._sidecar_path(self.build_id)
+        with open(path) as fh:
+            doc = json.load(fh)
+        doc.update(fields)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, path)
+
+    def _gc_sidecars(self) -> None:
+        """Drop sidecars of superseded builds (best-effort; the live
+        build's file is the one the committed snapshot references)."""
+        keep = {
+            os.path.basename(self._sidecar_path(self.build_id)),
+            os.path.basename(self._sidecar_path(None)),
+        }
+        prefix = f"{self.name}.centroids."
+        try:
+            for fn in os.listdir(self.warehouse):
+                if fn.startswith(prefix) and fn.endswith(".json") and fn not in keep:
+                    os.remove(os.path.join(self.warehouse, fn))
+        except OSError:
+            pass
 
     # -- building ----------------------------------------------------
     def build(
@@ -88,7 +166,12 @@ class AnnIndex:
     ) -> int:
         """(Re)build the index: train/derive centroids, assign every
         corpus vector to its cell, overwrite the table. Returns the
-        indexed row count."""
+        indexed row count.
+
+        The swap is crash-atomic: the new sidecar is written first
+        under a fresh build id, and the table overwrite's commit —
+        which stamps that id — is the single point where probes start
+        using the new centroids."""
         if train:
             cents = train_centroids(
                 corpus, self.n_centroids, id_col, vec_col,
@@ -96,22 +179,57 @@ class AnnIndex:
             )
         else:
             cents = int_centroids(self.dim, self.n_centroids, self.seed)
-        # centroids first (sidecar), then data: a crash in between
-        # leaves an empty-but-probeable index, never rows without the
-        # centroids that define their cells
-        tmp = self._cent_path + ".tmp"
+        build_id = uuid.uuid4().hex[:12]
+        path = self._sidecar_path(build_id)
+        tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
                 {"dim": self.dim, "n_centroids": self.n_centroids,
-                 "seed": self.seed, "trained": bool(train), "centroids": cents},
+                 "seed": self.seed, "trained": bool(train),
+                 "build_id": build_id, "centroids": cents},
                 fh,
             )
-        os.replace(tmp, self._cent_path)
-        self.centroids = cents
-        rows = self._assigned(corpus, id_col, vec_col)
-        self.table.overwrite_all(rows, {"op": "ann_build", "trained": bool(train)})
+        os.replace(tmp, path)
+        rows = self._assigned(corpus, id_col, vec_col, cents)
+        self.table.overwrite_all(
+            rows,
+            {"op": "ann_build", "trained": bool(train), "build_id": build_id},
+        )
         self.table.refresh()
-        return self.table.count_rows()
+        self.centroids, self.trained, self.build_id = cents, bool(train), build_id
+        self.default_n_probe = None
+        n = self.table.count_rows()
+        # at-build cell histogram (drift baseline for stats()); written
+        # AFTER the commit, so a crash here only costs the baseline —
+        # stats() then reports drift as unknown, never wrong
+        counts = {
+            int(r["cell"]): int(r["n"])
+            for r in self.table.read(spark).groupBy("cell").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        self._update_sidecar(build_rows=n, build_cell_counts=counts)
+        self._gc_sidecars()
+        return n
+
+    def rebuild(
+        self,
+        spark: SparkSession,
+        train: bool = True,
+        sample_size: int = 16384,
+        train_iters: int = 10,
+    ) -> int:
+        """Retrain on the CURRENT indexed vectors (including appends)
+        and atomically swap in the new assignment — the drift answer.
+        Probes against the old build keep working until the commit;
+        the first probe after it uses the new centroids."""
+        self._require_built()
+        self.table.refresh()
+        corpus = self.table.read(spark).select("vec_id", "embedding")
+        return self.build(
+            spark, corpus, id_col="vec_id", vec_col="embedding",
+            train=train, sample_size=sample_size, train_iters=train_iters,
+        )
 
     def append(
         self,
@@ -123,13 +241,15 @@ class AnnIndex:
         """Index new vectors with the STORED centroids (no rebuild);
         returns the number appended."""
         self._require_built()
-        rows = self._assigned(vectors, id_col, vec_col)
+        rows = self._assigned(vectors, id_col, vec_col, self.centroids)
         n = rows.count()
         self.table.append(rows, {"op": "ann_append", "rows": n})
         return n
 
-    def _assigned(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        assign = _ivf_cells_udf(self.centroids, 1)
+    def _assigned(
+        self, df: DataFrame, id_col: str, vec_col: str, cents: list[list[int]]
+    ) -> DataFrame:
+        assign = _ivf_cells_udf(cents, 1)
         return df.select(
             assign(F.col(vec_col))[0].cast("int").alias("cell"),
             F.col(id_col).cast("bigint").alias("vec_id"),
@@ -158,14 +278,21 @@ class AnnIndex:
         spark: SparkSession,
         queries: DataFrame,
         k: int = 5,
-        n_probe: int = 4,
+        n_probe: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> DataFrame:
         """Top-k per query: (query_id, neighbor_id, score). The corpus
         scan is PRUNED to the buckets holding the probed cells; the
-        query side (ids + vectors + probed cells) is broadcast."""
+        query side (ids + vectors + probed cells) is broadcast.
+
+        ``n_probe=None`` uses the tuned default from
+        :meth:`tune_n_probe` when one is stored, else 4."""
+        self.table.refresh()
+        self._sync_centroids()
         self._require_built()
+        if n_probe is None:
+            n_probe = self.default_n_probe or 4
         probe = _ivf_cells_udf(self.centroids, int(n_probe))
         q = queries.select(
             F.col(id_col).alias("query_id"),
@@ -177,7 +304,6 @@ class AnnIndex:
         # metadata-sized (<= n_centroids) and drives manifest pruning
         cells = sorted({r["cell"] for r in qcells.select("cell").distinct().collect()})
         buckets = self._buckets_for_cells(spark, cells)
-        self.table.refresh()
         corpus = (
             self.table.read(spark, buckets=buckets)
             # hash collisions can co-locate unprobed cells in a kept
@@ -206,6 +332,57 @@ class AnnIndex:
             .drop("rnk")
         )
 
+    def tune_n_probe(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        target_recall: float = 0.95,
+        sample: int = 256,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        persist: bool = True,
+    ) -> dict:
+        """Auto-size ``n_probe`` from a recall target: exact top-k for
+        a bounded query sample (ONE brute-force job over the corpus),
+        then probe with doubling ``n_probe`` until sampled recall@k
+        reaches the target. Stores the winner in the build's sidecar
+        as the ``search(n_probe=None)`` default.
+
+        Returns ``{"n_probe", "recall", "trace": [(n_probe, recall),
+        ...]}``. The exact pass costs one corpus scan — a tuning
+        operation run per build/drift check, not per query batch."""
+        self._require_built()
+        qs = queries.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).limit(int(sample)).cache()
+        try:
+            n_q = qs.count()  # also materializes the cache
+            corpus = self.table.read(spark).select("vec_id", "embedding")
+            exact = {
+                (r["query_id"], r["neighbor_id"])
+                for r in cosine_topk(corpus, qs, k=k).collect()
+            }
+            trace = []
+            n_probe, recall = 1, 0.0
+            while True:
+                got = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in self.search(spark, qs, k=k, n_probe=n_probe).collect()
+                }
+                recall = len(exact & got) / max(len(exact), 1)
+                trace.append((n_probe, round(recall, 4)))
+                if recall >= target_recall or n_probe >= self.n_centroids:
+                    break
+                n_probe = min(n_probe * 2, self.n_centroids)
+        finally:
+            qs.unpersist()
+        if persist:
+            self.default_n_probe = n_probe
+            self._update_sidecar(default_n_probe=n_probe)
+        return {"n_probe": n_probe, "recall": recall, "n_queries": n_q,
+                "trace": trace}
+
     # -- maintenance -------------------------------------------------
     def compact(self, spark: SparkSession) -> dict:
         """Small-file compaction for append-heavy indexes: each
@@ -218,21 +395,54 @@ class AnnIndex:
 
     def stats(self, spark: SparkSession) -> dict:
         """Operational shape of the index: rows, occupied cells, data
-        files, and the max files behind any single bucket (the probe
-        latency driver compact() resets)."""
-        self._require_built()
+        files, max files behind any single bucket (the probe-latency
+        driver compact() resets), and DRIFT vs build time — appended
+        volume and cell-size skew now vs at build. Skew is
+        max-cell/mean-cell over occupied cells; a ratio growing past
+        its at-build value means appends are piling into few cells and
+        a retraining ``rebuild()`` is due."""
         self.table.refresh()
+        self._sync_centroids()
+        self._require_built()
         files = list(self.table.current_files())
         per_bucket: dict[int, int] = {}
         for f in files:
             b = f.get("bucket")
             per_bucket[b] = per_bucket.get(b, 0) + 1
-        cells = self.table.read(spark).select("cell").distinct().count()
+        cell_rows = {
+            int(r["cell"]): int(r["n"])
+            for r in self.table.read(spark).groupBy("cell").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+
+        def _skew(counts: dict[int, int]) -> float | None:
+            if not counts:
+                return None
+            mean = sum(counts.values()) / len(counts)
+            return round(max(counts.values()) / mean, 3) if mean else None
+
+        with open(self._sidecar_path(self.build_id)) as fh:
+            doc = json.load(fh)
+        build_counts = {
+            int(c): int(n)
+            for c, n in (doc.get("build_cell_counts") or {}).items()
+        }
+        rows = self.table.count_rows()
+        build_rows = doc.get("build_rows")
         return {
-            "rows": self.table.count_rows(),
-            "cells_occupied": cells,
+            "rows": rows,
+            "cells_occupied": len(cell_rows),
             "n_centroids": self.n_centroids,
             "data_files": len(files),
             "max_files_per_bucket": max(per_bucket.values(), default=0),
-            "trained": bool(self.centroids is not None),
+            "trained": self.trained,
+            "build_id": self.build_id,
+            "default_n_probe": self.default_n_probe,
+            "rows_at_build": build_rows,
+            "appended_since_build": (
+                None if build_rows is None else rows - int(build_rows)
+            ),
+            "cell_skew_now": _skew(cell_rows),
+            "cell_skew_at_build": _skew(build_counts) if build_counts else None,
         }
