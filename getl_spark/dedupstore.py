@@ -225,6 +225,19 @@ class DedupStore:
             PartitionSpec.bucket(num_buckets, "doc_id"),
             if_not_exists=True,
         )
+        # persisted VERDICTS: one row per dropped doc (and which lower
+        # id it duplicated). Committed between the docs and index
+        # appends, so by the time the index commit marks a batch done —
+        # the point at which the story filter starts skipping its ids —
+        # every verdict of that batch is durable, and a replayed epoch
+        # can recover its kept set via :meth:`rejected_of` instead of
+        # re-judging (the CDC pre-merge composition relies on this).
+        self.rejects = cat.create_table(
+            "_dedup_rejects",
+            parse_ddl("doc_id bigint, dup_of bigint"),
+            PartitionSpec.bucket(num_buckets, "doc_id"),
+            if_not_exists=True,
+        )
         # optional second candidate generator: winnowed (MOSS)
         # fingerprints catch shared boilerplate SPANS that global
         # Jaccard banding misses — complementary, same capped-equi-join
@@ -468,6 +481,11 @@ class DedupStore:
         )
         dropped = verified.select(F.col("b_id").alias("_drop")).distinct()
         kept = d.join(dropped, did == F.col("_drop"), "left_anti")
+        # verdict rows: each dropped doc with the smallest lower id it
+        # verified against (deterministic representative)
+        reject_rows = verified.groupBy(F.col("b_id").alias("doc_id")).agg(
+            F.min("a_id").alias("dup_of")
+        )
 
         # persist AFTER computing, DOCS FIRST then INDEX: the index commit
         # is the batch's "done" marker (the story filter keys on it), so
@@ -505,12 +523,40 @@ class DedupStore:
                 )
                 fp_to_add = new_fp.join(already_fp, "doc_id", "left_anti")
             self.winnow_index.append(fp_to_add, dict(stamp))
+        rej_to_add = reject_rows
+        rheal = bool(_pending_tails(self.rejects, self.index, "max_doc_id")) \
+            if modern else self.rejects.count_rows() > 0
+        if rheal:
+            rb = _storage_buckets(new_ids, self.rejects)
+            already_rej = (
+                self.rejects.read(spark, buckets=rb)
+                .select("doc_id")
+                .filter((F.col("doc_id") >= batch_lo) & (F.col("doc_id") <= batch_hi))
+            )
+            rej_to_add = reject_rows.join(already_rej, "doc_id", "left_anti")
+        self.rejects.append(rej_to_add, dict(stamp))
         self.index.append(new_banded, {**stamp, **self.cfg})
         new_banded.unpersist()
         pairs.unpersist()
         if new_fp is not None:
             new_fp.unpersist()
         return kept
+
+    def rejected_of(
+        self, spark: SparkSession, ids: DataFrame, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """(doc_id, dup_of) for the subset of ``ids`` the store has
+        dropped — a bucket-pruned read of the persisted verdicts, valid
+        for any mix of new and previously-ingested ids. This is how a
+        replayed CDC epoch recovers its kept set without re-judging:
+        verdicts commit BEFORE the index's done marker, so any id the
+        story filter skips already has its verdict durable."""
+        self.rejects.refresh()
+        idf = ids.select(F.col(id_col).cast("bigint").alias("doc_id")).distinct()
+        if self.rejects.count_rows() == 0:  # manifest stats, no scan
+            return idf.limit(0).withColumn("dup_of", F.lit(None).cast("bigint"))
+        rb = _storage_buckets(idf, self.rejects)
+        return self.rejects.read(spark, buckets=rb).join(idf, "doc_id", "left_semi")
 
 
 class EmbDedupStore:

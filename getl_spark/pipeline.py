@@ -72,6 +72,7 @@ class CDCPipeline:
         compact_every: int | None = None,
         verify_unique_seq: bool = True,
         schema_policy: str | None = None,
+        dedup_store=None,
     ):
         """``merge_mode``:
 
@@ -86,6 +87,21 @@ class CDCPipeline:
 
         Both modes keep the same exactly-once guard (epoch watermark
         stamped in the same atomic commit) and identical final state.
+
+        ``dedup_store``: an optional :class:`~getl_spark.dedupstore.
+        DedupStore` run as a PRE-MERGE stage — each epoch's winner
+        rows (I/U events with content) are near-dedup'd against the
+        standing corpus keyed by ``seq`` as the doc id; dropped
+        events never reach the MERGE (the key keeps its prior state)
+        and are durably recorded in the store's ``_dedup_rejects``
+        table. Replay-safe by construction: the store's verdicts
+        commit before its story watermark advances, so a crashed
+        epoch that re-runs recovers the SAME kept set from persisted
+        verdicts (``rejected_of``) instead of re-judging, and the
+        MERGE's own epoch watermark still makes the re-apply a no-op.
+        Composition of getl's Flow.copy + story-table skip
+        (proc/Flow.groovy:294-672, files/Manager.groovy:525-567)
+        with content identity instead of file names.
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError("merge_mode must be 'cow' or 'mor'")
@@ -147,6 +163,8 @@ class CDCPipeline:
         self.merge_mode = self.target.properties.get("write.mode", merge_mode)
         self.checkpoints = CheckpointManager(self.catalog, method=checkpoint_method)
         self.lineage = LineageRecorder(self.catalog, legacy_owner=name)
+        self.dedup_store = dedup_store
+        self.last_dedup_stats: dict = {}
 
     # ------------------------------------------------------------ one epoch
     def apply_epoch(self, events: DataFrame, epoch: int, schema_changes: list | None = None) -> EpochResult:
@@ -219,6 +237,8 @@ class CDCPipeline:
             touched = [int(b) for b in lin["partition_id"]] if len(lin) else []
 
             winners = self._select_winners(events, per_key, n_keys, n_events_epoch)
+            if self.dedup_store is not None:
+                winners = self._dedup_winners(winners, epoch)
             # Deletes become TOMBSTONES (_deleted=true) rather than
             # physical row removal, and every arm is guarded by
             # s._seq > t._seq: the per-key state is monotonic in seq,
@@ -331,6 +351,29 @@ class CDCPipeline:
         finally:
             if per_key is not None:
                 per_key.unpersist()
+
+    def _dedup_winners(self, winners: DataFrame, epoch: int) -> DataFrame:
+        """Pre-merge near-dedup stage: run the epoch's winner I/U rows
+        through the dedup store (doc id = winning seq — unique and
+        monotonic across epochs, so the store's watermark story filter
+        makes epoch replays no-ops) and anti-join the dropped seqs out
+        of the merge source. Tombstones (D) and content-less rows pass
+        through untouched. The kept set comes from the store's
+        PERSISTED verdicts, not add_batch's return value, so a replay
+        of an already-ingested epoch — where the story filter returns
+        nothing new — recovers the identical kept set."""
+        docs = winners.filter(
+            (F.col("op") != "D") & F.col("content").isNotNull()
+        ).select(
+            F.col("seq").cast("bigint").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        self.dedup_store.add_batch(self.spark, docs)
+        self.last_dedup_stats = dict(self.dedup_store.last_batch_stats)
+        rejected = self.dedup_store.rejected_of(self.spark, docs)
+        return winners.join(
+            rejected.select(F.col("doc_id").alias("seq")), "seq", "left_anti"
+        )
 
     def _resolve_auto_salt(self, events: DataFrame, per_key: DataFrame) -> None:
         """Turn write.salt="auto" into a concrete factor (SURVEY §4.2 —

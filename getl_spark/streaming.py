@@ -45,12 +45,16 @@ class StreamingTailer:
         merge_mode: str = "cow",
         keep_snapshots: int | None = None,
         compact_every: int | None = None,
+        dedup_store=None,
     ):
         """The always-on knobs pass straight through to the pipeline:
         ``write_salt="auto"`` (histogram-sized skew salt),
         ``keep_snapshots`` (bounded metadata), ``compact_every``
-        (MOR delta folding) — a long-running streaming tailer needs
-        all three."""
+        (MOR delta folding), ``dedup_store`` (pre-merge near-dedup
+        with persisted verdicts) — a long-running streaming tailer
+        needs all of them. Micro-batch replays after a stream restart
+        hit both the store's story filter and the merge's epoch
+        watermark, so the composed stage stays exactly-once."""
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
@@ -63,6 +67,7 @@ class StreamingTailer:
             merge_mode=merge_mode,
             keep_snapshots=keep_snapshots,
             compact_every=compact_every,
+            dedup_store=dedup_store,
         )
 
     def run_available_now(self, event_log_path: str) -> int:

@@ -1,0 +1,175 @@
+"""CDC pipeline x DedupStore composition (VERDICT r5 item 3): the
+pre-merge near-dedup stage drops duplicate-content events before the
+MERGE, records them durably in _dedup_rejects, and the composition
+stays exactly-once under re-runs and crashes on either side of the
+store commit. Mirrors getl Flow.copy + story-table skip
+(proc/Flow.groovy:294-672 + files/Manager.groovy:525-567) with
+content identity instead of file names."""
+
+import datetime
+
+import pytest
+
+from getl_spark.dedupstore import DedupStore
+from getl_spark.pipeline import CDCPipeline
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four five "
+    "six seven eight nine ten eleven twelve thirteen fourteen"
+)
+T1 = WORDS
+T1_NEAR = WORDS.rsplit(" ", 1)[0] + " fifteen"  # ~0.85 jaccard vs T1
+T2 = " ".join(reversed(WORDS.split()))
+T2_NEAR = "prefix " + T2
+T3 = " ".join(WORDS.split()[i] for i in (0, 5, 10, 15, 20, 25, 30) for _ in range(6))
+T4 = (
+    "red orange yellow green blue indigo violet crimson amber teal "
+    "maroon olive navy coral salmon ivory beige plum mint jade "
+    "ruby topaz pearl onyx quartz slate copper bronze silver gold "
+    "iron zinc nickel cobalt chrome titanium mercury lead tin argon"
+)
+
+
+def _ts(seq):
+    return datetime.datetime(2023, 11, 14) + datetime.timedelta(seconds=seq)
+
+
+def _events(spark, rows):
+    """rows: (seq, op, repo, path, content|None)"""
+    data = [
+        (seq, op, repo, path, f"c{seq:040d}"[:40], "py", content, _ts(seq))
+        for seq, op, repo, path, content in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "seq bigint, op string, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp",
+    )
+
+
+EPOCH0 = [
+    (10, "I", "r1", "a.py", T1),
+    (20, "I", "r1", "b.py", T2),
+    (30, "I", "r2", "c.py", T1_NEAR),  # near-dup of seq 10 -> rejected
+]
+EPOCH1 = [
+    (110, "I", "r2", "d.py", T2_NEAR),  # cross-epoch near-dup of 20 -> rejected
+    (120, "I", "r3", "e.py", T3),       # novel -> kept
+    (130, "U", "r1", "a.py", T4),  # kept update, novel vocabulary
+    (140, "D", "r1", "b.py", None),     # tombstone passes through
+]
+EXPECTED = {  # (repo, path) -> content after dedup-aware LWW reduction
+    ("r1", "a.py"): T4,
+    ("r3", "e.py"): T3,
+    # r1/b.py deleted; r2/c.py and r2/d.py rejected pre-merge
+}
+
+
+def _mk(spark, wh, **kw):
+    store = DedupStore(
+        str(wh), num_hashes=32, bands=8, threshold=0.6, num_buckets=16
+    )
+    pipe = CDCPipeline(
+        spark, str(wh), num_buckets=8, dedup_store=store, **kw
+    )
+    return pipe, store
+
+
+def _state(pipe):
+    return {
+        (r.repo, r.path): r.content
+        for r in pipe.state().select("repo", "path", "content").collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_dedup_premerge_end_to_end(spark, tmp_path, mode):
+    ev = _events(spark, EPOCH0 + EPOCH1)
+    pipe, store = _mk(spark, tmp_path / f"wh_{mode}", merge_mode=mode)
+    results = pipe.replay(ev, 100)
+    assert [r.applied for r in results] == [True, True]
+    assert _state(pipe) == EXPECTED
+
+    # rejects are durable and name the doc they duplicated
+    rej = {
+        r.doc_id: r.dup_of for r in store.rejects.read(spark).collect()
+    }
+    assert rej == {30: 10, 110: 20}
+
+    # re-run is a no-op on BOTH layers (store story filter + merge
+    # epoch watermark) and the state is unchanged
+    results2 = pipe.replay(ev, 100)
+    assert results2 == []  # checkpoint already past both epochs
+    pipe_again, store_again = _mk(spark, tmp_path / f"wh_{mode}", merge_mode=mode)
+    forced = pipe_again.apply_epoch(ev.filter("seq <= 100"), 0)
+    assert forced.applied is False
+    assert store_again.last_batch_stats["story_path"] == "watermark-replay-noop"
+    assert _state(pipe_again) == EXPECTED
+    assert store_again.corpus_size() == 6  # no duplicate docs rows
+
+
+def test_crash_between_store_and_merge_recovers_kept_set(spark, tmp_path):
+    """The hard window: the store commits the epoch's verdicts/index,
+    then the process dies before the MERGE. The replay's add_batch is
+    a story no-op (returns nothing new), so the kept set MUST come
+    from the persisted verdicts — and must equal the clean run's."""
+    wh = tmp_path / "wh"
+    ev = _events(spark, EPOCH0 + EPOCH1)
+    pipe, _ = _mk(spark, wh)
+    pipe.replay(ev, 100, stop_after_epoch=0)
+
+    pipe2, store2 = _mk(spark, wh)
+    real_merge = pipe2.target.merge
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash after the store commit")
+
+    pipe2.target.merge = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe2.apply_epoch(ev.filter("seq > 100"), 1)
+    # the store DID commit epoch 1's docs before the merge crashed
+    assert store2.corpus_size() == 6
+    pipe2.target.merge = real_merge
+
+    pipe3, store3 = _mk(spark, wh)
+    res = pipe3.replay(ev, 100)  # resumes at epoch 1
+    assert [r.epoch for r in res] == [1] and res[0].applied
+    assert store3.last_batch_stats["story_path"] == "watermark-replay-noop"
+    assert _state(pipe3) == EXPECTED
+    rej = {r.doc_id: r.dup_of for r in store3.rejects.read(spark).collect()}
+    assert rej == {30: 10, 110: 20}
+
+
+def test_streaming_tailer_with_dedup_store(spark, tmp_path):
+    """The composed stage flows through the structured-streaming
+    tailer unchanged (foreachBatch -> apply_epoch)."""
+    from getl_spark.streaming import StreamingTailer
+
+    log_dir = tmp_path / "log"
+    _events(spark, EPOCH0).coalesce(1).write.mode("append").parquet(str(log_dir))
+    _events(spark, EPOCH1).coalesce(1).write.mode("append").parquet(str(log_dir))
+    store = DedupStore(
+        str(tmp_path / "wh"), num_hashes=32, bands=8, threshold=0.6, num_buckets=16
+    )
+    tailer = StreamingTailer(
+        spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"), dedup_store=store,
+        max_files_per_trigger=1,  # one micro-batch per epoch file: the
+        # near-dup seeds pair with PRIOR-batch docs; in a single batch
+        # their originals lose LWW and never reach the store
+    )
+    n = tailer.run_available_now(str(log_dir))
+    assert n >= 1
+    got = {
+        (r.repo, r.path): r.content
+        for r in tailer.state().select("repo", "path", "content").collect()
+    }
+    assert got == EXPECTED
+    # restart over the same log: stream checkpoint + story filter +
+    # merge watermark each make it a no-op
+    tailer2 = StreamingTailer(
+        spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"), dedup_store=store,
+    )
+    assert tailer2.run_available_now(str(log_dir)) == 0
+    assert store.corpus_size() == 6
