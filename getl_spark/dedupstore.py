@@ -69,6 +69,23 @@ is a property of the contract path, as is batch==one-shot equality.
 Stores written before round 6 lack the summary stamps; they are
 detected (any data snapshot missing ``max_doc_id``/``batch``) and
 serviced through the same legacy scan path.
+
+Maintenance & retention contract: an always-on ingest appends a file
+per touched bucket and a snapshot per batch, forever. ``compact()``
+folds small files bucket-locally, ``expire(keep_last)`` bounds
+snapshot metadata, and ``prune_dropped(before_doc_id)`` reclaims the
+band rows / texts / fingerprints of long-dropped docs (their verdict
+rows are kept, so replay recovery still works). All three stamp a
+maintenance marker into their snapshot summaries so the watermark
+reader skips them — they never flip a store onto the legacy path.
+Retention defaults keep everything: dropped docs' signatures are part
+of the equality contract above, so pruning them is an explicit,
+documented trade (see :meth:`DedupStore.prune_dropped`). ``expire``
+must keep at least the deepest crash-replay window you need — a
+crashed tail is only healable while its batch stamps are visible —
+and if every stamped append expires, the store safely (if slowly)
+falls back to the membership anti-join path rather than trusting a
+blank watermark.
 """
 
 from __future__ import annotations
@@ -87,12 +104,24 @@ from getl_spark.lake import LakeCatalog, PartitionSpec
 from getl_spark.schema import parse_ddl
 
 
+def _is_maintenance(summ: dict) -> bool:
+    """Compaction / retention-prune / delete snapshots rewrite or drop
+    EXISTING rows only — they introduce no new doc ids, so the
+    append-summary watermarks stay valid across them and they must not
+    flip the store onto the legacy scan path."""
+    return bool(
+        summ.get("compaction") or summ.get("maintenance") or summ.get("delete_where")
+    )
+
+
 def _data_summaries(table) -> list[dict]:
     """Summaries of snapshots that added rows (appends with content);
-    creation, empty-replay, and compaction snapshots don't count."""
+    creation, empty-replay, and maintenance snapshots don't count."""
     out = []
     for snap in table.meta["snapshots"]:
         summ = snap.get("summary") or {}
+        if _is_maintenance(summ):
+            continue
         if summ.get("added_rows", 0) > 0 and snap.get("operation") == "append":
             out.append(summ)
     return out
@@ -109,6 +138,8 @@ def _watermark(table, key: str) -> tuple[int | None, bool]:
     hi, modern = None, True
     for snap in table.meta["snapshots"]:
         summ = snap.get("summary") or {}
+        if _is_maintenance(summ):
+            continue
         if summ.get("added_rows", 0) <= 0:
             continue
         if snap.get("operation") != "append":
@@ -290,6 +321,12 @@ class DedupStore:
         hi_index, modern = _watermark(self.index, "max_doc_id")
         if modern:
             _, modern = _watermark(self.docs, "max_doc_id")
+        if have_index and hi_index is None:
+            # rows exist but no stamped append snapshot is visible —
+            # expire_snapshots dropped them all. The fast path would
+            # skip the story filter and re-ingest replayed ids; fall
+            # back to the true membership anti-join instead.
+            modern = False
         fast = modern and require_monotonic
 
         did = F.col(id_col).cast("bigint")
@@ -558,6 +595,94 @@ class DedupStore:
         rb = _storage_buckets(idf, self.rejects)
         return self.rejects.read(spark, buckets=rb).join(idf, "doc_id", "left_semi")
 
+    # -- maintenance -------------------------------------------------
+    def _tables(self):
+        out = {"index": self.index, "docs": self.docs, "rejects": self.rejects}
+        if self.winnow_index is not None:
+            out["winnow"] = self.winnow_index
+        return out
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Small-file compaction across the store's tables: every
+        ``add_batch`` appends a file per touched bucket, and both the
+        candidate join and the bucket-pruned verdict/heal reads pay
+        per-file overhead — fold periodically (bucket-local binpack;
+        compaction snapshots are transparent to the watermark story
+        filter). Returns files before/after per table."""
+        out = {}
+        for name, t in self._tables().items():
+            t.refresh()
+            before = len(t.current_files())
+            t.compact(spark)
+            t.refresh()
+            out[name] = {"files_before": before, "files_after": len(t.current_files())}
+        return out
+
+    def expire(self, keep_last: int = 8) -> dict:
+        """Bound snapshot metadata: an always-on ingest otherwise grows
+        every table's snapshot list O(batches) and each commit rewrites
+        it (O(batches^2) on disk over time). Keeps the newest
+        ``keep_last`` snapshots per table — the watermark/token stamps
+        of expired snapshots are no longer visible, so keep at least as
+        many as the deepest crash-replay window you need (a tail can
+        only be healed while its stamps are still in the kept list)."""
+        return {
+            name: t.expire_snapshots(keep_last)
+            for name, t in self._tables().items()
+        }
+
+    def prune_dropped(self, spark: SparkSession, before_doc_id: int) -> dict:
+        """RETENTION: reclaim the heavy state (band rows, texts,
+        winnow fingerprints) of docs that were DROPPED with
+        ``doc_id < before_doc_id``. Their verdict rows in
+        ``_dedup_rejects`` are KEPT — one tiny row per dropped doc —
+        so ``rejected_of`` replay recovery still works at any depth.
+
+        Dropped docs' signatures stay in the index BY DESIGN (module
+        docstring: the one-shot pair set includes pairs whose lower id
+        was itself dropped), so pruning trades storage for a bounded,
+        one-sided equality change: a future doc whose ONLY verified
+        match is a pruned dropped doc will now be KEPT (the one-shot
+        run over the full history would have dropped it). Kept docs
+        are untouched — pairs against them are unaffected. Choose
+        ``before_doc_id`` older than any content you expect to recur.
+        """
+        before = int(before_doc_id)
+        self.rejects.refresh()
+        old = (
+            self.rejects.read(spark)
+            .filter(F.col("doc_id") < before)
+            .select("doc_id")
+            .persist()
+        )
+        stamp = {"maintenance": "prune_dropped", "before_doc_id": before}
+        out = {"pruned_docs": old.count()}
+        try:
+            if out["pruned_docs"] == 0:
+                return out
+            for name, t in self._tables().items():
+                if name == "rejects":
+                    continue
+                t.refresh()
+                # docs (and nothing else) is bucketed by doc_id, so its
+                # rewrite prunes to the dropped ids' buckets; the index
+                # and winnow tables bucket by content keys — a dropped
+                # doc's rows spread across buckets, so those rewrites
+                # touch every bucket holding any such row (heavyweight,
+                # like compaction — a periodic job, never per-batch)
+                if name == "docs":
+                    bks = _storage_buckets(old, t)
+                    keep = t.read(spark, buckets=bks).join(
+                        old, "doc_id", "left_anti"
+                    )
+                    t.overwrite_buckets(keep, bks, dict(stamp))
+                else:
+                    keep = t.read(spark).join(old, "doc_id", "left_anti")
+                    t.overwrite_all(keep, dict(stamp))
+            return out
+        finally:
+            old.unpersist()
+
 
 class EmbDedupStore:
     """Incremental EMBEDDING near-dedup — :class:`DedupStore`'s shape
@@ -651,6 +776,11 @@ class EmbDedupStore:
         hi_vec, modern = _watermark(self.vectors, "max_vec_id")
         if modern:
             _, modern = _watermark(self.buckets, "max_vec_id")
+        if have_vecs and hi_vec is None:
+            # stamped appends all expired — same guard as DedupStore:
+            # never run the watermark fast path blind on a non-empty
+            # corpus, use the membership anti-join instead
+            modern = False
         fast = modern and require_monotonic
 
         vid = F.col(id_col).cast("bigint")
@@ -803,3 +933,23 @@ class EmbDedupStore:
         new_b.unpersist()
         pairs.unpersist()
         return kept
+
+    # -- maintenance (same contract as DedupStore.compact/expire) ----
+    def _tables(self):
+        return {"buckets": self.buckets, "vectors": self.vectors}
+
+    def compact(self, spark: SparkSession) -> dict:
+        out = {}
+        for name, t in self._tables().items():
+            t.refresh()
+            before = len(t.current_files())
+            t.compact(spark)
+            t.refresh()
+            out[name] = {"files_before": before, "files_after": len(t.current_files())}
+        return out
+
+    def expire(self, keep_last: int = 8) -> dict:
+        return {
+            name: t.expire_snapshots(keep_last)
+            for name, t in self._tables().items()
+        }
