@@ -1009,6 +1009,44 @@ def q_near_dedup_cc(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_incremental_near_dedup(spark, sf_dir):
+    """Incremental near-dedup through the persisted DedupStore: the
+    documents table ingested as THREE ordered id-range batches must
+    yield exactly the one-shot near-dedup kept set (the store's
+    batch==one-shot equality contract, here pinned by the driver's
+    SQL oracle instead of a library-vs-library test). Uncapped so the
+    oracle needs no bucket-count CTE; the capped path is covered by
+    ``near_dedup``'s oracle plus the store's own cap-equality tests."""
+    import tempfile
+
+    from getl_spark.dedupstore import DedupStore
+
+    d = _t(spark, sf_dir, "documents")
+    row = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    # the store outlives this call: the returned DataFrame reads the
+    # kept docs lazily from its tables (OS tmp; driver-sized corpus)
+    wh = tempfile.mkdtemp(prefix="getl_incdedup_")
+    store = DedupStore(
+        wh,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=_ND_THRESHOLD,
+        hash_fn="sha256",
+        num_buckets=8,
+    )
+    kept = None
+    for cond in (
+        F.col("doc_id") <= cut1,
+        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+        F.col("doc_id") > cut2,
+    ):
+        k = store.add_batch(spark, d.filter(cond)).select("doc_id", "lang", "source")
+        kept = k if kept is None else kept.unionByName(k)
+    return kept
+
+
 def q_simhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedupe.simhash_duplicates(
@@ -1084,6 +1122,25 @@ SQL_MINHASH_LSH_PAIRS = (
 
 SQL_NEAR_DEDUP = (
     _sql_minhash_core(_MH_HASHES, _MH_BANDS, _MH_CAP)
+    + f"""
+, verified AS (
+  SELECT p.b_id FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a_id
+  JOIN sh sb ON sb.doc_id = p.b_id
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= {_ND_THRESHOLD}
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT b_id FROM verified)
+"""
+)
+
+
+# incremental store equality oracle: the ONE-SHOT near-dedup, uncapped
+# (cap 2^62 disables the bucket-size CTE numerically) — the DedupStore
+# fed ordered batches must land on exactly this set
+SQL_INCREMENTAL_NEAR_DEDUP = (
+    _sql_minhash_core(_MH_HASHES, _MH_BANDS, 1 << 62)
     + f"""
 , verified AS (
   SELECT p.b_id FROM pairs p
@@ -1388,6 +1445,7 @@ def all_queries():
         "simsearch_topk": q_simsearch_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dedup": q_near_dedup,
+        "incremental_near_dedup": q_incremental_near_dedup,
         "near_dedup_cc": q_near_dedup_cc,
         "near_dedup_winnow": q_near_dedup_winnow,
         "simhash_pairs": q_simhash_pairs,
@@ -1434,6 +1492,7 @@ def all_oracles():
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "near_dedup": SQL_NEAR_DEDUP,
+        "incremental_near_dedup": SQL_INCREMENTAL_NEAR_DEDUP,
         "near_dedup_cc": SQL_NEAR_DEDUP_CC,
         "near_dedup_winnow": SQL_NEAR_DEDUP_WINNOW,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
