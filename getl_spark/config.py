@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -195,3 +196,130 @@ class ConfigRegistry:
             self.table(spark, name).createOrReplaceTempView(name)
             out.append(name)
         return out
+
+
+class Repository:
+    """In-session named-object repository — getl's programmatic
+    registration + per-thread cloning (``lang/Getl.groovy:491-551``,
+    ``data/Dataset.groovy:1332-1352``) recast Spark-first.
+
+    Layers PROGRAMMATIC registrations over an optional file-backed
+    :class:`ConfigRegistry` (programmatic wins on name collision, the
+    way getl job code overrides config files). What needs cloning
+    differs from getl: DataFrames and the SparkSession are thread-safe
+    for job submission (no ``writeSynch`` analog needed), but file
+    managers hold live sockets (FTP/SFTP control connections), so
+    :meth:`manager_for_thread` hands each worker thread its OWN
+    connected instance — the in-session analog of the per-task
+    ``build_manager(spec)`` the Spark executors already do.
+    """
+
+    def __init__(self, registry: "ConfigRegistry | None" = None):
+        self.registry = registry
+        self._connections: dict = {}
+        self._tables: dict = {}
+        self._managers: dict = {}
+        self._thread_mgrs: dict = {}
+        self._lock = threading.Lock()
+
+    # -- programmatic registration (name -> spec or live DataFrame) --
+    def register_connection(self, name: str, spec: dict) -> None:
+        self._connections[name] = dict(spec)
+
+    def register_table(self, name: str, table: "DataFrame | dict") -> None:
+        """A live DataFrame (registered as-is) or a spec dict in the
+        ConfigRegistry ``tables`` shape."""
+        self._tables[name] = table
+
+    def register_manager(self, name: str, spec: dict) -> None:
+        self._managers[name] = dict(spec)
+
+    # -- lookup (programmatic first, then config files) --------------
+    def connection(self, name: str) -> dict:
+        if name in self._connections:
+            return self._connections[name]
+        if self.registry is not None:
+            return self.registry.connection(name)
+        raise KeyError(f"repository: unknown connection {name!r}")
+
+    def table(self, spark: SparkSession, name: str) -> DataFrame:
+        t = self._tables.get(name)
+        if isinstance(t, DataFrame):
+            return t
+        if t is not None:  # spec dict: resolve through a registry view
+            sub = ConfigRegistry(
+                {
+                    "tables": {name: t},
+                    "connections": {**(
+                        self.registry.content.get("connections", {})
+                        if self.registry is not None
+                        else {}
+                    ), **self._connections},
+                }
+            )
+            return sub.table(spark, name)
+        if self.registry is not None:
+            return self.registry.table(spark, name)
+        raise KeyError(f"repository: unknown table {name!r}")
+
+    def manager_spec(self, name: str) -> dict:
+        if name in self._managers:
+            return self._managers[name]
+        if self.registry is not None:
+            return self.registry.manager(name)
+        raise KeyError(f"repository: unknown manager {name!r}")
+
+    def table_names(self) -> list[str]:
+        file_names = self.registry.table_names() if self.registry else []
+        return sorted(set(file_names) | set(self._tables))
+
+    # -- per-thread stateful objects ---------------------------------
+    def manager_for_thread(self, name: str):
+        """A connected FileManager owned by the CALLING thread. Two
+        threads never share a control connection (getl clones
+        connections per Executor thread for the same reason); repeat
+        calls from one thread reuse its instance."""
+        from getl_spark.fsmanagers import build_manager
+
+        key = (name, threading.get_ident())
+        with self._lock:
+            m = self._thread_mgrs.get(key)
+            if m is None:
+                m = build_manager(self.manager_spec(name))
+                self._thread_mgrs[key] = m
+        m.connect()
+        return m
+
+    def close_all(self) -> None:
+        """Close every thread's managers (driver-side cleanup)."""
+        with self._lock:
+            mgrs, self._thread_mgrs = list(self._thread_mgrs.values()), {}
+        for m in mgrs:
+            try:
+                m.close()
+            except Exception:
+                pass
+
+    def clone(self) -> "Repository":
+        """Isolated copy for a worker thread: shares the (immutable
+        after load) file registry, deep-copies the programmatic spec
+        maps so the thread can re-register without racing the parent;
+        live DataFrames are shared (thread-safe), live managers are
+        NOT carried over (each clone builds its own on first use)."""
+        import copy
+
+        r = Repository(self.registry)
+        r._connections = copy.deepcopy(self._connections)
+        r._managers = copy.deepcopy(self._managers)
+        r._tables = {
+            k: (v if isinstance(v, DataFrame) else copy.deepcopy(v))
+            for k, v in self._tables.items()
+        }
+        return r
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close_all()
+        return False

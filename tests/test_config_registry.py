@@ -158,3 +158,85 @@ class TestResolveAndRegister:
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert json.loads(out.stdout.strip().splitlines()[-1])["echoed"] == ["n=1"]
+
+
+class TestRepository:
+    """In-session named-object repository: programmatic registration
+    over file config, per-thread stateful managers, clone isolation
+    (getl lang/Getl.groovy:491-551 + Dataset cloning semantics)."""
+
+    def test_programmatic_over_file_and_spec_tables(self, spark, tmp_path):
+        from getl_spark.config import Repository
+
+        pq = str(tmp_path / "file_t")
+        spark.range(3).write.parquet(pq)
+        cfg = _write(tmp_path, "r.json", {
+            "tables": {"t": {"format": "parquet", "path": pq}},
+            "connections": {"wh": {"type": "lake", "warehouse": "/nope"}},
+            "managers": {"m": {"type": "local"}},
+        })
+        repo = Repository(ConfigRegistry.load(cfg))
+        # file-config lookups pass through
+        assert repo.table(spark, "t").count() == 3
+        assert repo.manager_spec("m") == {"type": "local"}
+        assert repo.connection("wh")["warehouse"] == "/nope"
+
+        # live DataFrame registration wins over the file table
+        repo.register_table("t", spark.range(7).toDF("id"))
+        assert repo.table(spark, "t").count() == 7
+
+        # spec-dict registration resolves through a PROGRAMMATIC
+        # connection that shadows the file one
+        wh = str(tmp_path / "wh")
+        from getl_spark.lake import LakeCatalog, PartitionSpec
+        from getl_spark.schema import parse_ddl
+        cat = LakeCatalog(wh)
+        t = cat.create_table("orders", parse_ddl("id bigint"),
+                             PartitionSpec.bucket(4, "id"))
+        t.append(spark.range(5).toDF("id"))
+        repo.register_connection("wh", {"type": "lake", "warehouse": wh})
+        repo.register_table("orders", {"connection": "wh", "table": "orders"})
+        assert repo.table(spark, "orders").count() == 5
+        assert set(repo.table_names()) == {"t", "orders"}
+
+        with pytest.raises(KeyError, match="unknown table"):
+            Repository().table(spark, "absent")
+
+    def test_per_thread_managers_and_close(self, tmp_path):
+        import threading
+
+        from getl_spark.config import Repository
+
+        repo = Repository()
+        repo.register_manager("land", {"type": "arrow-local", "root": str(tmp_path)})
+        a1 = repo.manager_for_thread("land")
+        a2 = repo.manager_for_thread("land")
+        assert a1 is a2  # same thread reuses its instance
+
+        seen = {}
+
+        def grab():
+            seen[threading.get_ident()] = repo.manager_for_thread("land")
+
+        th = threading.Thread(target=grab)
+        th.start(); th.join()
+        (other,) = seen.values()
+        assert other is not a1  # never a shared control connection
+        repo.close_all()
+        assert repo._thread_mgrs == {}
+
+    def test_clone_isolation(self, spark):
+        from getl_spark.config import Repository
+
+        parent = Repository()
+        parent.register_manager("m", {"type": "local"})
+        df = spark.range(2).toDF("id")
+        parent.register_table("live", df)
+        child = parent.clone()
+        child.register_manager("m", {"type": "arrow-local", "root": "/"})
+        child.register_table("extra", {"format": "parquet", "path": "/x"})
+        # child mutations never leak into the parent
+        assert parent.manager_spec("m") == {"type": "local"}
+        assert "extra" not in parent.table_names()
+        # live DataFrames are SHARED (thread-safe), not copied
+        assert child.table(spark, "live") is df
