@@ -169,7 +169,11 @@ def main(argv=None):
         "MinHash index in the warehouse, append them, emit the kept docs",
     )
     dd.add_argument("--warehouse", required=True)
-    dd.add_argument("--docs", required=True, help="parquet dir/file of the new batch")
+    dd.add_argument(
+        "--docs", default=None,
+        help="parquet dir/file of the new batch (omit for a "
+        "maintenance-only run with the flags below)",
+    )
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--num-hashes", type=int, default=64)
@@ -186,6 +190,22 @@ def main(argv=None):
         "--allow-unordered", action="store_true",
         help="skip the monotonic-id guard (batch==incremental equality "
         "is only guaranteed with ingest-ordered ids)",
+    )
+    dd.add_argument(
+        "--compact", action="store_true",
+        help="fold small files across the store's tables (one file per "
+        "touched bucket accumulates per batch)",
+    )
+    dd.add_argument(
+        "--expire-keep-last", type=int, default=None, metavar="N",
+        help="bound snapshot metadata to the last N snapshots per table "
+        "(keep at least your deepest crash-replay window)",
+    )
+    dd.add_argument(
+        "--prune-dropped-below", type=int, default=None, metavar="DOC_ID",
+        help="reclaim band rows/texts/fingerprints of docs DROPPED with "
+        "id < DOC_ID (verdict rows are kept; see DedupStore.prune_dropped "
+        "for the documented equality trade)",
     )
     dd.add_argument("--config", action="append", default=[], help=config_help)
 
@@ -373,41 +393,59 @@ def main(argv=None):
         from getl_spark.dedupstore import DedupStore
 
         reg = _registry(args.config)
+        wh = _resolve_warehouse(args.warehouse, reg)
+        maintenance = (
+            args.compact
+            or args.expire_keep_last is not None
+            or args.prune_dropped_below is not None
+        )
+        if args.docs is None and not maintenance:
+            p.error("dedup: --docs is required unless running maintenance "
+                    "(--compact/--expire-keep-last/--prune-dropped-below)")
         t0 = time.monotonic()
-        store = DedupStore(
-            _resolve_warehouse(args.warehouse, reg),
-            num_hashes=args.num_hashes,
-            bands=args.bands,
-            threshold=args.threshold,
-            max_bucket=args.max_bucket,
-            winnow={"k": 8, "w": 4, "min_shared": 2} if args.winnow else None,
-        )
-        batch = _resolve_input(
-            spark, args.docs, reg, lambda path: spark.read.parquet(path)
-        )
-        n_in = batch.count()
-        kept = store.add_batch(
-            spark, batch, text_col=args.text_col, id_col=args.id_col,
-            require_monotonic=not args.allow_unordered,
-        )
-        if args.out:
-            kept.write.mode("overwrite").parquet(args.out)
-            # explicit schema: an all-dropped batch writes zero part
-            # files and a bare read cannot infer one
-            n_kept = spark.read.schema(kept.schema).parquet(args.out).count()
+        if args.docs is None:
+            # maintenance-only: reopen under the store's OWN stored
+            # config so a wrong CLI default can't fail the cfg check
+            store = DedupStore.open(wh)
         else:
-            n_kept = kept.count()
-        print(
-            json.dumps(
-                {
-                    "batch_rows": n_in,
-                    "kept": n_kept,
-                    "dropped": n_in - n_kept,
-                    "corpus_size": store.corpus_size(),
-                    "sec": round(time.monotonic() - t0, 1),
-                }
+            store = DedupStore(
+                wh,
+                num_hashes=args.num_hashes,
+                bands=args.bands,
+                threshold=args.threshold,
+                max_bucket=args.max_bucket,
+                winnow={"k": 8, "w": 4, "min_shared": 2} if args.winnow else None,
             )
+        out: dict = {}
+        if args.docs is not None:
+            batch = _resolve_input(
+                spark, args.docs, reg, lambda path: spark.read.parquet(path)
+            )
+            n_in = batch.count()
+            kept = store.add_batch(
+                spark, batch, text_col=args.text_col, id_col=args.id_col,
+                require_monotonic=not args.allow_unordered,
+            )
+            if args.out:
+                kept.write.mode("overwrite").parquet(args.out)
+                # explicit schema: an all-dropped batch writes zero part
+                # files and a bare read cannot infer one
+                n_kept = spark.read.schema(kept.schema).parquet(args.out).count()
+            else:
+                n_kept = kept.count()
+            out.update(batch_rows=n_in, kept=n_kept, dropped=n_in - n_kept)
+        if args.prune_dropped_below is not None:
+            # prune BEFORE compaction so the rewrite also folds files
+            out["pruned"] = store.prune_dropped(spark, args.prune_dropped_below)
+        if args.compact:
+            out["compacted"] = store.compact(spark)
+        if args.expire_keep_last is not None:
+            out["expired"] = store.expire(args.expire_keep_last)
+        out.update(
+            corpus_size=store.corpus_size(),
+            sec=round(time.monotonic() - t0, 1),
         )
+        print(json.dumps(out))
     elif args.cmd == "copyfiles":
         import os as _os
 

@@ -296,6 +296,34 @@ class DedupStore:
                 )
             break
 
+    @classmethod
+    def open(cls, warehouse: str) -> "DedupStore":
+        """Reopen an existing store under its OWN stored configuration
+        (every index append stamps the full cfg into its snapshot
+        summary) — maintenance jobs (compact/expire/prune) shouldn't
+        have to repeat ingest parameters they can get wrong. Raises if
+        the warehouse has no ingested dedup index to read a spec from."""
+        cat = LakeCatalog(warehouse)
+        if not cat.table_exists("_dedup_index"):
+            raise ValueError(f"no dedup store at {warehouse!r}")
+        for snap in cat.load_table("_dedup_index").meta["snapshots"]:
+            summ = snap.get("summary") or {}
+            if "num_hashes" in summ:
+                return cls(
+                    warehouse,
+                    num_hashes=summ["num_hashes"],
+                    bands=summ["bands"],
+                    shingle_words=summ["shingle_words"],
+                    threshold=summ["threshold"],
+                    hash_fn=summ["hash_fn"],
+                    max_bucket=summ.get("max_bucket"),
+                    winnow=summ.get("winnow"),
+                )
+        raise ValueError(
+            f"dedup store at {warehouse!r} has no ingested batch to read "
+            "its configuration from — pass the parameters explicitly"
+        )
+
     def corpus_size(self) -> int:
         return self.docs.count_rows()
 

@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from getl_spark.events import generate_change_events
 from getl_spark.lake import LakeCatalog
 from getl_spark.pipeline import CDCPipeline
@@ -184,3 +186,52 @@ def test_cli_dedup_and_compact_from_config_names(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows_before"] > 0
+
+
+def test_cli_dedup_maintenance_only(spark, tmp_path, capsys):
+    """dedup without --docs runs maintenance against the store's OWN
+    stored config (DedupStore.open): prune + compact + expire in one
+    call; a follow-up ingest with explicit (matching) params still
+    dedups against the maintained index."""
+    from getl_spark.__main__ import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zetas"),
+         (3, "unrelated content entirely different words here")],
+        "doc_id bigint, text string",
+    ).write.parquet(docs)
+    wh = str(tmp_path / "ddwh")
+    base = ["dedup", "--warehouse", wh, "--num-hashes", "32",
+            "--bands", "16", "--threshold", "0.35"]
+    rc = main([*base, "--docs", docs])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["dedup", "--warehouse", wh, "--compact",
+               "--expire-keep-last", "8", "--prune-dropped-below", "100"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "batch_rows" not in out
+    assert out["pruned"]["pruned_docs"] == 1  # doc 2 ~ doc 1
+    assert out["compacted"]["index"]["files_after"] <= out["compacted"]["index"]["files_before"]
+    assert out["corpus_size"] == 2  # 3 ingested - 1 pruned
+
+    # maintained store still dedups new near-dups of KEPT content
+    docs2 = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(10, "unrelated content entirely different words there")],
+        "doc_id bigint, text string",
+    ).write.parquet(docs2)
+    rc = main([*base, "--docs", docs2])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batch_rows"] == 1 and out["kept"] == 0 and out["dropped"] == 1
+
+
+def test_cli_dedup_requires_docs_or_maintenance(tmp_path):
+    from getl_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["dedup", "--warehouse", str(tmp_path / "x")])
