@@ -780,6 +780,31 @@ class EmbDedupStore:
                 )
             break
 
+    @classmethod
+    def open(cls, warehouse: str) -> "EmbDedupStore":
+        """Reopen under the store's own stored configuration (same
+        contract as :meth:`DedupStore.open` — every buckets append
+        stamps the full cfg)."""
+        cat = LakeCatalog(warehouse)
+        if not cat.table_exists("_embdedup_buckets"):
+            raise ValueError(f"no embedding dedup store at {warehouse!r}")
+        for snap in cat.load_table("_embdedup_buckets").meta["snapshots"]:
+            summ = snap.get("summary") or {}
+            if "n_bits" in summ:
+                return cls(
+                    warehouse,
+                    dim=summ["dim"],
+                    threshold=summ["threshold"],
+                    n_bits=summ["n_bits"],
+                    n_tables=summ["n_tables"],
+                    seed=summ["seed"],
+                    max_bucket=summ.get("max_bucket"),
+                )
+        raise ValueError(
+            f"embedding dedup store at {warehouse!r} has no ingested batch "
+            "to read its configuration from — pass the parameters explicitly"
+        )
+
     def corpus_size(self) -> int:
         return self.vectors.count_rows()
 

@@ -461,3 +461,32 @@ def test_embedding_store_maintenance(spark, tmp_path):
     assert store.last_batch_stats["story_path"] == "anti-join"
     assert store.corpus_size() == size
     assert k1 > 0 and k2 > 0
+
+
+def test_open_reconstructs_stored_config(spark, corpus, tmp_path):
+    """DedupStore.open / EmbDedupStore.open reopen a store under its
+    OWN stamped configuration — maintenance jobs never repeat (or get
+    wrong) ingest parameters."""
+    from getl_spark.dedupstore import EmbDedupStore
+
+    wh = str(tmp_path / "wh")
+    DedupStore(wh, **PARAMS).add_batch(spark, corpus.filter("doc_id < 100")).count()
+    store = DedupStore.open(wh)
+    assert store.cfg["num_hashes"] == PARAMS["num_hashes"]
+    assert store.cfg["threshold"] == PARAMS["threshold"]
+    # and it is fully operational (replay no-op through the story)
+    assert store.add_batch(spark, corpus.filter("doc_id < 100")).count() == 0
+
+    with pytest.raises(ValueError, match="no dedup store"):
+        DedupStore.open(str(tmp_path / "absent"))
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    ewh = str(tmp_path / "ewh")
+    EmbDedupStore(ewh, dim=64, threshold=0.3, n_bits=6, n_tables=4,
+                  seed=7, max_bucket=None).add_batch(
+        spark, emb.filter("vec_id <= 100")).count()
+    estore = EmbDedupStore.open(ewh)
+    assert estore.cfg["seed"] == 7 and estore.cfg["max_bucket"] is None
+    assert estore.add_batch(spark, emb.filter("vec_id <= 100")).count() == 0
