@@ -209,6 +209,33 @@ def main(argv=None):
     )
     dd.add_argument("--config", action="append", default=[], help=config_help)
 
+    edd = sub.add_parser(
+        "embdedup",
+        help="incremental EMBEDDING near-dedup: LSH-bucket new vectors "
+        "against the standing index in the warehouse, exact-cosine "
+        "verify, append, emit kept rows",
+    )
+    edd.add_argument("--warehouse", required=True)
+    edd.add_argument(
+        "--vectors", default=None,
+        help="parquet dir/file of the new batch (omit for a "
+        "maintenance-only run)",
+    )
+    edd.add_argument("--id-col", default="vec_id")
+    edd.add_argument("--vec-col", default="embedding")
+    edd.add_argument("--dim", type=int, default=None,
+                     help="embedding dimension (required on first ingest)")
+    edd.add_argument("--threshold", type=float, default=0.95)
+    edd.add_argument("--n-bits", type=int, default=12)
+    edd.add_argument("--n-tables", type=int, default=4)
+    edd.add_argument("--seed", type=int, default=99)
+    edd.add_argument("--max-bucket", type=int, default=1000)
+    edd.add_argument("--out", default=None, help="write kept rows to this parquet dir")
+    edd.add_argument("--allow-unordered", action="store_true")
+    edd.add_argument("--compact", action="store_true")
+    edd.add_argument("--expire-keep-last", type=int, default=None, metavar="N")
+    edd.add_argument("--config", action="append", default=[], help=config_help)
+
     comp = sub.add_parser(
         "compact",
         help="MOR maintenance: fold deltas to one row per key; optionally "
@@ -437,6 +464,52 @@ def main(argv=None):
         if args.prune_dropped_below is not None:
             # prune BEFORE compaction so the rewrite also folds files
             out["pruned"] = store.prune_dropped(spark, args.prune_dropped_below)
+        if args.compact:
+            out["compacted"] = store.compact(spark)
+        if args.expire_keep_last is not None:
+            out["expired"] = store.expire(args.expire_keep_last)
+        out.update(
+            corpus_size=store.corpus_size(),
+            sec=round(time.monotonic() - t0, 1),
+        )
+        print(json.dumps(out))
+    elif args.cmd == "embdedup":
+        from getl_spark.dedupstore import EmbDedupStore
+
+        reg = _registry(args.config)
+        wh = _resolve_warehouse(args.warehouse, reg)
+        maintenance = args.compact or args.expire_keep_last is not None
+        if args.vectors is None and not maintenance:
+            p.error("embdedup: --vectors is required unless running "
+                    "maintenance (--compact/--expire-keep-last)")
+        t0 = time.monotonic()
+        if args.vectors is None:
+            store = EmbDedupStore.open(wh)
+        elif args.dim is None:
+            # reopen-for-ingest without repeating the config
+            store = EmbDedupStore.open(wh)
+        else:
+            store = EmbDedupStore(
+                wh, dim=args.dim, threshold=args.threshold,
+                n_bits=args.n_bits, n_tables=args.n_tables,
+                seed=args.seed, max_bucket=args.max_bucket,
+            )
+        out = {}
+        if args.vectors is not None:
+            batch = _resolve_input(
+                spark, args.vectors, reg, lambda path: spark.read.parquet(path)
+            )
+            n_in = batch.count()
+            kept = store.add_batch(
+                spark, batch, id_col=args.id_col, vec_col=args.vec_col,
+                require_monotonic=not args.allow_unordered,
+            )
+            if args.out:
+                kept.write.mode("overwrite").parquet(args.out)
+                n_kept = spark.read.schema(kept.schema).parquet(args.out).count()
+            else:
+                n_kept = kept.count()
+            out.update(batch_rows=n_in, kept=n_kept, dropped=n_in - n_kept)
         if args.compact:
             out["compacted"] = store.compact(spark)
         if args.expire_keep_last is not None:

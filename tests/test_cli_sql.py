@@ -235,3 +235,39 @@ def test_cli_dedup_requires_docs_or_maintenance(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["dedup", "--warehouse", str(tmp_path / "x")])
+
+
+def test_cli_embdedup_ingest_and_maintenance(spark, tmp_path, capsys):
+    """embdedup: first ingest sets the config; the second batch and the
+    maintenance run reopen under the stored config (no --dim repeat)."""
+    from pyspark.sql import functions as F
+
+    from getl_spark.__main__ import main
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    emb.filter("vec_id <= 150").write.parquet(v1)
+    emb.filter("vec_id <= 150").write.parquet(v2)  # full replay batch
+    wh = str(tmp_path / "ewh")
+
+    rc = main(["embdedup", "--warehouse", wh, "--vectors", v1,
+               "--dim", "64", "--threshold", "0.3", "--n-bits", "6"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batch_rows"] == out["corpus_size"] > 0
+    n1 = out["corpus_size"]
+
+    # replayed batch, reopened WITHOUT --dim: story no-op, corpus flat
+    rc = main(["embdedup", "--warehouse", wh, "--vectors", v2,
+               "--allow-unordered"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kept"] == 0 and out["corpus_size"] == n1
+
+    rc = main(["embdedup", "--warehouse", wh, "--compact",
+               "--expire-keep-last", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "compacted" in out and out["corpus_size"] == n1
