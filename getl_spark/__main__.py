@@ -14,6 +14,15 @@ Subcommands:
   stream    Structured Streaming tailer (resumes from Spark checkpoint)
   generate  synthesize a change-event log
   state     print the target table's live row count + snapshot history
+  compact   MOR delta folding, tombstone purge, snapshot expiry, orphans
+  script    run a getl SQL script against lake tables / config views
+  copyfiles operational file copy/move with story exactly-once
+  dedup     incremental text near-dedup (MinHash store) + maintenance
+  embdedup  incremental embedding near-dedup (LSH store) + maintenance
+
+Every warehouse-facing subcommand accepts --config; --warehouse may
+then be a lake connection NAME and --events/--docs/--vectors a table
+NAME from the config files (one ConfigRegistry, all entry points).
 """
 
 from __future__ import annotations
