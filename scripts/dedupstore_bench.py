@@ -16,7 +16,12 @@ files_total grows ~10x. A tail fraction of each batch is near-dup of
 earlier content so the verify stage stays exercised.
 
 Usage: python scripts/dedupstore_bench.py [batch_size] [n_batches]
-(defaults 5000 x 11 -> standing grows 5k..55k). Writes one JSON line.
+[--compact-every N] (defaults 5000 x 11 -> standing grows 5k..55k).
+``--compact-every N`` runs compact() + expire() after every N batches
+— the drift that remains WITHOUT it is file/snapshot metadata growth
+(one file per touched bucket per batch, snapshot list O(batches)),
+which is precisely what the maintenance surface reclaims. Writes one
+JSON line.
 """
 
 from __future__ import annotations
@@ -73,8 +78,13 @@ def synth_batch(spark, start_id: int, n: int, dup_frac: float = 0.02):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 11
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    compact_every = None
+    if "--compact-every" in sys.argv:
+        compact_every = int(sys.argv[sys.argv.index("--compact-every") + 1])
+        args.remove(str(compact_every))
+    batch = int(args[0]) if args else 5000
+    n_batches = int(args[1]) if len(args) > 1 else 11
     tmp = tempfile.mkdtemp(
         prefix="getl_ddbench_",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
@@ -102,6 +112,11 @@ def main():
                     "index_files_total": st.get("index_files_total"),
                 }
             )
+            if compact_every and (b + 1) % compact_every == 0:
+                t0 = time.monotonic()
+                store.compact(spark)
+                store.expire(keep_last=8)
+                rows[-1]["maintenance_sec"] = round(time.monotonic() - t0, 2)
         # flat-cost evidence: compare the same-size batch early vs late
         # (skip batch 0: empty-store fast path; skip batch 1: JIT warm)
         early = min(r["sec"] for r in rows[1:3])
