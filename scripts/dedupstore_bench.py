@@ -78,11 +78,15 @@ def synth_batch(spark, start_id: int, n: int, dup_frac: float = 0.02):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    compact_every = None
-    if "--compact-every" in sys.argv:
-        compact_every = int(sys.argv[sys.argv.index("--compact-every") + 1])
-        args.remove(str(compact_every))
+    argv, args, compact_every = sys.argv[1:], [], None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--compact-every":
+            compact_every = int(argv[i + 1])
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     batch = int(args[0]) if args else 5000
     n_batches = int(args[1]) if len(args) > 1 else 11
     tmp = tempfile.mkdtemp(
