@@ -216,6 +216,12 @@ def main(argv=None):
         "id < DOC_ID (verdict rows are kept; see DedupStore.prune_dropped "
         "for the documented equality trade)",
     )
+    dd.add_argument(
+        "--remove-orphans-older-than", type=float, default=None,
+        metavar="SECONDS",
+        help="delete data files referenced by no snapshot and older than "
+        "this (crashed add_batch leftovers)",
+    )
     dd.add_argument("--config", action="append", default=[], help=config_help)
 
     edd = sub.add_parser(
@@ -243,6 +249,8 @@ def main(argv=None):
     edd.add_argument("--allow-unordered", action="store_true")
     edd.add_argument("--compact", action="store_true")
     edd.add_argument("--expire-keep-last", type=int, default=None, metavar="N")
+    edd.add_argument("--remove-orphans-older-than", type=float, default=None,
+                     metavar="SECONDS")
     edd.add_argument("--config", action="append", default=[], help=config_help)
 
     comp = sub.add_parser(
@@ -434,6 +442,7 @@ def main(argv=None):
             args.compact
             or args.expire_keep_last is not None
             or args.prune_dropped_below is not None
+            or args.remove_orphans_older_than is not None
         )
         if args.docs is None and not maintenance:
             p.error("dedup: --docs is required unless running maintenance "
@@ -477,6 +486,10 @@ def main(argv=None):
             out["compacted"] = store.compact(spark)
         if args.expire_keep_last is not None:
             out["expired"] = store.expire(args.expire_keep_last)
+        if args.remove_orphans_older_than is not None:
+            out["orphans_removed"] = store.remove_orphans(
+                args.remove_orphans_older_than
+            )
         out.update(
             corpus_size=store.corpus_size(),
             sec=round(time.monotonic() - t0, 1),
@@ -487,10 +500,15 @@ def main(argv=None):
 
         reg = _registry(args.config)
         wh = _resolve_warehouse(args.warehouse, reg)
-        maintenance = args.compact or args.expire_keep_last is not None
+        maintenance = (
+            args.compact
+            or args.expire_keep_last is not None
+            or args.remove_orphans_older_than is not None
+        )
         if args.vectors is None and not maintenance:
             p.error("embdedup: --vectors is required unless running "
-                    "maintenance (--compact/--expire-keep-last)")
+                    "maintenance (--compact/--expire-keep-last/"
+                    "--remove-orphans-older-than)")
         t0 = time.monotonic()
         if args.vectors is None:
             store = EmbDedupStore.open(wh)
@@ -523,6 +541,10 @@ def main(argv=None):
             out["compacted"] = store.compact(spark)
         if args.expire_keep_last is not None:
             out["expired"] = store.expire(args.expire_keep_last)
+        if args.remove_orphans_older_than is not None:
+            out["orphans_removed"] = store.remove_orphans(
+                args.remove_orphans_older_than
+            )
         out.update(
             corpus_size=store.corpus_size(),
             sec=round(time.monotonic() - t0, 1),

@@ -659,6 +659,17 @@ class DedupStore:
             for name, t in self._tables().items()
         }
 
+    def remove_orphans(self, older_than_seconds: float = 3600) -> dict:
+        """Delete data files referenced by NO snapshot across the
+        store's tables — a crashed add_batch (between writing files and
+        committing) leaves its files behind forever otherwise. Same
+        mtime grace period as the lake tables' own
+        ``remove_orphan_files``; files deleted per table returned."""
+        return {
+            name: t.remove_orphan_files(older_than_seconds)
+            for name, t in self._tables().items()
+        }
+
     def prune_dropped(self, spark: SparkSession, before_doc_id: int) -> dict:
         """RETENTION: reclaim the heavy state (band rows, texts,
         winnow fingerprints) of docs that were DROPPED with
@@ -1004,5 +1015,11 @@ class EmbDedupStore:
     def expire(self, keep_last: int = 8) -> dict:
         return {
             name: t.expire_snapshots(keep_last)
+            for name, t in self._tables().items()
+        }
+
+    def remove_orphans(self, older_than_seconds: float = 3600) -> dict:
+        return {
+            name: t.remove_orphan_files(older_than_seconds)
             for name, t in self._tables().items()
         }

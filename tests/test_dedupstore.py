@@ -490,3 +490,28 @@ def test_open_reconstructs_stored_config(spark, corpus, tmp_path):
     estore = EmbDedupStore.open(ewh)
     assert estore.cfg["seed"] == 7 and estore.cfg["max_bucket"] is None
     assert estore.add_batch(spark, emb.filter("vec_id <= 100")).count() == 0
+
+
+def test_remove_orphans_cleans_crashed_batch_files(spark, corpus, tmp_path):
+    """A data file written but never committed (crashed add_batch) is
+    reclaimed by remove_orphans(0); committed files survive."""
+    import os
+
+    store = DedupStore(str(tmp_path / "wh"), **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100")).count()
+
+    # simulate the crash: drop an unreferenced parquet into the index
+    # table's data dir
+    data_dir = os.path.join(str(tmp_path / "wh"), "_dedup_index", "data")
+    orphan = os.path.join(data_dir, "b00000-orphan-deadbeef.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    res = store.remove_orphans(older_than_seconds=0)
+    assert res["index"] == 1 and res["docs"] == 0
+    assert not os.path.exists(orphan)
+
+    # store still fully operational after the sweep
+    assert store.add_batch(spark, corpus.filter("doc_id < 100")).count() == 0
+    kept = _ids(store.add_batch(spark, corpus.filter("doc_id >= 100 AND doc_id < 200")))
+    assert kept == [102]
