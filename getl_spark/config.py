@@ -273,6 +273,16 @@ class Repository:
         file_names = self.registry.table_names() if self.registry else []
         return sorted(set(file_names) | set(self._tables))
 
+    def register(self, spark: SparkSession, names: list[str] | None = None) -> list[str]:
+        """Temp view per named table (programmatic + file), same
+        contract as :meth:`ConfigRegistry.register` — a SQLScripter
+        script then refers to repository tables by name."""
+        out = []
+        for name in names if names is not None else self.table_names():
+            self.table(spark, name).createOrReplaceTempView(name)
+            out.append(name)
+        return out
+
     # -- per-thread stateful objects ---------------------------------
     def manager_for_thread(self, name: str):
         """A connected FileManager owned by the CALLING thread. Two

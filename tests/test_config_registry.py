@@ -240,3 +240,15 @@ class TestRepository:
         assert "extra" not in parent.table_names()
         # live DataFrames are SHARED (thread-safe), not copied
         assert child.table(spark, "live") is df
+
+    def test_register_views_over_programmatic_tables(self, spark, tmp_path):
+        from getl_spark.config import Repository
+
+        pq = str(tmp_path / "t")
+        spark.range(4).write.parquet(pq)
+        repo = Repository(ConfigRegistry({"tables": {"filet": {"format": "parquet", "path": pq}}}))
+        repo.register_table("livet", spark.range(6).toDF("id"))
+        views = repo.register(spark)
+        assert sorted(views) == ["filet", "livet"]
+        assert spark.sql("SELECT count(*) n FROM livet").collect()[0]["n"] == 6
+        assert spark.sql("SELECT count(*) n FROM filet").collect()[0]["n"] == 4
