@@ -173,3 +173,36 @@ def test_streaming_tailer_with_dedup_store(spark, tmp_path):
     )
     assert tailer2.run_available_now(str(log_dir)) == 0
     assert store.corpus_size() == 6
+
+
+def test_store_maintenance_between_epochs_is_transparent(spark, tmp_path):
+    """Ops reality: compact/expire/orphan-sweep the store BETWEEN
+    epochs of a composed pipeline. The next epoch must still dedup
+    against the (maintained) standing index, replay must stay a
+    no-op on both layers, and the final state must equal the
+    uninterrupted run's."""
+    ev = _events(spark, EPOCH0 + EPOCH1)
+
+    # reference: uninterrupted composed run
+    ref_pipe, _ = _mk(spark, tmp_path / "ref")
+    ref_pipe.replay(ev, 100)
+    expected = _state(ref_pipe)
+
+    pipe, store = _mk(spark, tmp_path / "wh")
+    assert pipe.replay(ev.filter("seq <= 100"), 100)[0].applied
+    res = store.compact(spark)
+    assert res["index"]["files_after"] <= res["index"]["files_before"]
+    store.expire(keep_last=8)
+    assert store.remove_orphans(older_than_seconds=0) == {
+        "index": 0, "docs": 0, "rejects": 0,
+    }
+
+    # epoch 1 still dedups 110 (near-dup of 20) against the compacted
+    # standing index, through the pipeline path
+    assert pipe.replay(ev, 100)[0].applied
+    assert _state(pipe) == expected
+    rej = {r.doc_id: r.dup_of for r in store.rejects.read(spark).collect()}
+    assert rej == {30: 10, 110: 20}
+
+    # both layers still replay as no-ops after maintenance
+    assert pipe.replay(ev, 100) == []
