@@ -172,6 +172,7 @@ class CDCPipeline:
         slice of the log (any op mix, duplicates fine)."""
         t0 = time.monotonic()
         per_key = None
+        winners_cached = None
         try:
             for change in schema_changes or []:
                 self._apply_schema_change(change)
@@ -238,7 +239,13 @@ class CDCPipeline:
 
             winners = self._select_winners(events, per_key, n_keys, n_events_epoch)
             if self.dedup_store is not None:
-                winners = self._dedup_winners(winners, epoch)
+                # the dedup stage consumes winners several times (id
+                # span, banding, verify texts, rejected_of) and the
+                # MERGE consumes it once more — without a persist each
+                # action re-reads the event log and re-runs the LWW
+                # semi-join
+                winners_cached = winners.persist()
+                winners = self._dedup_winners(winners_cached, epoch)
             # Deletes become TOMBSTONES (_deleted=true) rather than
             # physical row removal, and every arm is guarded by
             # s._seq > t._seq: the per-key state is monotonic in seq,
@@ -351,6 +358,8 @@ class CDCPipeline:
         finally:
             if per_key is not None:
                 per_key.unpersist()
+            if winners_cached is not None:
+                winners_cached.unpersist()
 
     def _dedup_winners(self, winners: DataFrame, epoch: int) -> DataFrame:
         """Pre-merge near-dedup stage: run the epoch's winner I/U rows
