@@ -100,6 +100,13 @@ def main(argv=None):
     tail.add_argument("--num-buckets", type=int, default=32)
     tail.add_argument("--write-salt", type=int, default=1)
     tail.add_argument("--pipeline", default="tail")
+    tail.add_argument(
+        "--dedup-store", default=None, metavar="WAREHOUSE",
+        help="run content near-dedup as a pre-merge stage against the "
+        "DedupStore at this warehouse (created with library defaults "
+        "if absent; an existing store reopens under its own stored "
+        "config); may be a lake connection name with --config",
+    )
     tail.add_argument("--config", action="append", default=[], help=config_help)
 
     stream = sub.add_parser("stream")
@@ -309,12 +316,22 @@ def main(argv=None):
         from getl_spark.pipeline import CDCPipeline
 
         reg = _registry(args.config)
+        store = None
+        if args.dedup_store:
+            from getl_spark.dedupstore import DedupStore
+
+            swh = _resolve_warehouse(args.dedup_store, reg)
+            try:
+                store = DedupStore.open(swh)
+            except ValueError:
+                store = DedupStore(swh)  # new store, library defaults
         pipe = CDCPipeline(
             spark,
             _resolve_warehouse(args.warehouse, reg),
             name=args.pipeline,
             num_buckets=args.num_buckets,
             write_salt=args.write_salt,
+            dedup_store=store,
         )
         ev = _resolve_input(
             spark, args.events, reg, lambda path: read_event_log(spark, path)
@@ -323,17 +340,17 @@ def main(argv=None):
         results = pipe.replay(ev, args.epoch_size)
         sec = time.monotonic() - t0
         n = sum(r.events for r in results)
-        print(
-            json.dumps(
-                {
-                    "epochs": len(results),
-                    "events": n,
-                    "sec": round(sec, 1),
-                    "events_per_sec": round(n / sec, 1) if sec > 0 else 0,
-                    "rows": pipe.target.count_rows(),
-                }
-            )
-        )
+        out = {
+            "epochs": len(results),
+            "events": n,
+            "sec": round(sec, 1),
+            "events_per_sec": round(n / sec, 1) if sec > 0 else 0,
+            "rows": pipe.target.count_rows(),
+        }
+        if store is not None:
+            out["dedup_corpus"] = store.corpus_size()
+            out["dedup_rejects"] = store.rejects.count_rows()
+        print(json.dumps(out))
     elif args.cmd == "stream":
         from getl_spark.streaming import StreamingTailer
 

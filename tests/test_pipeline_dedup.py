@@ -206,3 +206,35 @@ def test_store_maintenance_between_epochs_is_transparent(spark, tmp_path):
 
     # both layers still replay as no-ops after maintenance
     assert pipe.replay(ev, 100) == []
+
+
+def test_cli_tail_with_dedup_store(spark, tmp_path, capsys):
+    """CLI surface for the composition: tail --dedup-store runs the
+    pre-merge stage; a second tail against the same store reopens it
+    under the stored config and keeps deduping cross-run."""
+    from getl_spark.__main__ import main
+
+    log1, log2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    _events(spark, EPOCH0).write.parquet(log1)
+    _events(spark, EPOCH1).write.parquet(log2)
+    wh, swh = str(tmp_path / "wh"), str(tmp_path / "store")
+
+    import json as _json
+
+    rc = main(["tail", "--events", log1, "--warehouse", wh,
+               "--epoch-size", "100", "--num-buckets", "8",
+               "--dedup-store", swh])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dedup_rejects"] == 1  # seq 30 near-dups seq 10
+    assert out["rows"] == 2
+
+    rc = main(["tail", "--events", log2, "--warehouse", wh,
+               "--epoch-size", "100", "--num-buckets", "8",
+               "--dedup-store", swh])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dedup_rejects"] == 2  # + seq 110 near-dups seq 20
+
+    pipe = CDCPipeline(spark, wh, num_buckets=8)
+    assert _state(pipe) == EXPECTED
