@@ -238,3 +238,18 @@ def test_cli_tail_with_dedup_store(spark, tmp_path, capsys):
 
     pipe = CDCPipeline(spark, wh, num_buckets=8)
     assert _state(pipe) == EXPECTED
+
+
+@pytest.mark.parametrize("epoch_size", [1, 3, 100])
+def test_composition_invariant_to_epoch_boundaries(spark, tmp_path, epoch_size):
+    """Epoch-boundary invariance: the composed pipeline must land on
+    the SAME final state and the SAME reject verdicts whether the log
+    arrives as one epoch or one event at a time — the store's
+    watermark story + the merge's seq-monotonic guards make epoch
+    size purely physical."""
+    ev = _events(spark, EPOCH0 + EPOCH1)
+    pipe, store = _mk(spark, tmp_path / f"wh_{epoch_size}")
+    pipe.replay(ev, epoch_size)
+    assert _state(pipe) == EXPECTED
+    rej = {r.doc_id: r.dup_of for r in store.rejects.read(spark).collect()}
+    assert rej == {30: 10, 110: 20}
