@@ -115,6 +115,11 @@ def main(argv=None):
     stream.add_argument("--checkpoint", required=True)
     stream.add_argument("--num-buckets", type=int, default=32)
     stream.add_argument("--max-files-per-trigger", type=int, default=None)
+    stream.add_argument(
+        "--dedup-store", default=None, metavar="WAREHOUSE",
+        help="pre-merge content near-dedup store (same semantics as "
+        "tail --dedup-store)",
+    )
     stream.add_argument("--config", action="append", default=[], help=config_help)
 
     gen = sub.add_parser("generate")
@@ -366,15 +371,29 @@ def main(argv=None):
                     "path-backed table"
                 )
             events = spec["path"]
+        store = None
+        if args.dedup_store:
+            from getl_spark.dedupstore import DedupStore
+
+            swh = _resolve_warehouse(args.dedup_store, reg)
+            try:
+                store = DedupStore.open(swh)
+            except ValueError:
+                store = DedupStore(swh)
         t = StreamingTailer(
             spark,
             _resolve_warehouse(args.warehouse, reg),
             args.checkpoint,
             num_buckets=args.num_buckets,
             max_files_per_trigger=args.max_files_per_trigger,
+            dedup_store=store,
         )
         n = t.run_available_now(events)
-        print(json.dumps({"batches": n, "rows": t.pipeline.target.count_rows()}))
+        out = {"batches": n, "rows": t.pipeline.target.count_rows()}
+        if store is not None:
+            out["dedup_corpus"] = store.corpus_size()
+            out["dedup_rejects"] = store.rejects.count_rows()
+        print(json.dumps(out))
     elif args.cmd == "compact":
         from getl_spark.pipeline import CDCPipeline
 

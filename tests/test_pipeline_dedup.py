@@ -253,3 +253,36 @@ def test_composition_invariant_to_epoch_boundaries(spark, tmp_path, epoch_size):
     assert _state(pipe) == EXPECTED
     rej = {r.doc_id: r.dup_of for r in store.rejects.read(spark).collect()}
     assert rej == {30: 10, 110: 20}
+
+
+def test_cli_stream_with_dedup_store(spark, tmp_path, capsys):
+    """stream --dedup-store: the composed stage runs inside
+    foreachBatch; micro-batch replays after restart stay exactly-once
+    on both layers (the second run applies nothing new)."""
+    import json as _json
+
+    from getl_spark.__main__ import main
+
+    log = str(tmp_path / "log")
+    # one file per epoch + one file per trigger: the near-dup seeds
+    # pair with PRIOR-batch docs (in a single batch their originals
+    # lose LWW and never reach the store)
+    _events(spark, EPOCH0).coalesce(1).write.mode("append").parquet(log)
+    _events(spark, EPOCH1).coalesce(1).write.mode("append").parquet(log)
+    args = ["stream", "--events", log,
+            "--warehouse", str(tmp_path / "wh"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--num-buckets", "8", "--max-files-per-trigger", "1",
+            "--dedup-store", str(tmp_path / "store")]
+    rc = main(args)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dedup_rejects"] == 2 and out["rows"] > 0
+
+    rc = main(args)  # restart: checkpoint + story make it a no-op
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["dedup_rejects"] == 2 and out2["rows"] == out["rows"]
+
+    pipe = CDCPipeline(spark, str(tmp_path / "wh"), num_buckets=8)
+    assert _state(pipe) == EXPECTED
