@@ -28,10 +28,17 @@ actually delivers that bound on the contract path:
   needed for `_cap_buckets` correctness.
 - **Crash heal** is metadata-triggered: each batch carries a token
   stamped into every table's summary; a docs/winnow snapshot whose
-  token never reached the index table (and whose ids exceed the
-  index watermark) marks a crashed tail, and only then does the heal
-  anti-join run — against a bucket-pruned, id-range-filtered read.
-  The hot path runs no heal scan at all.
+  token never reached the index table marks a crashed tail, and only
+  then does the heal anti-join run — against a bucket-pruned,
+  id-range-filtered read. Tails resolve by TOKEN only: either the
+  crash was between one call's appends (same token reaches the index
+  on replay) or a replay whose input span covers the tail's inferred
+  id range stamps it into the index commit's ``heals`` list. The
+  index watermark moving past a tail's ids proves nothing — a later
+  batch commits without reprocessing the tail — so the story filter
+  treats ids inside a pending tail's range as REPROCESSABLE (they
+  pass the docs-membership probe yet were never judged). The hot
+  path runs no heal scan at all.
 
 Reference analog: getl's story-table exactly-once skip
 (/root/reference/src/main/groovy/getl/files/Manager.groovy:936-948)
@@ -157,20 +164,120 @@ def _watermark(table, key: str) -> tuple[int | None, bool]:
 
 def _pending_tails(prior, done, key: str) -> list[dict]:
     """Data summaries committed to ``prior`` whose batch token never
-    reached ``done`` AND whose ids exceed done's watermark — i.e.
-    crashed batches whose replay hasn't completed yet. Pure metadata.
+    reached ``done`` — crashed batches whose replay hasn't completed
+    yet. Pure metadata.
+
+    A tail is resolved by TOKEN only: either its own token reached
+    ``done`` (the crash happened between the two appends of one call),
+    or a later ``done`` append lists it in its ``heals`` stamp (the
+    replay that reprocessed the crashed batch ran under a fresh token
+    and declares which tails it covered). The done-side watermark is
+    deliberately NOT consulted: a later batch's commit advances the
+    watermark past a crashed tail's ids without reprocessing them, so
+    "done_hi >= tail hi" proves nothing (the round-6 code inferred
+    resolution from exactly that and silently swallowed such tails on
+    replay).
+
+    Each tail carries the EXACT id ranges its append added: every
+    stamped append records ``id_ranges`` — the driver-side list of
+    ``[lo, hi]`` spans its effective (non-committed-before) ids
+    occupied; usually one span, several when the append itself
+    reprocessed earlier tails. Appends from round-6 stores lack the
+    stamp; their single range is then inferred as ``(prev_hi, hi]``
+    from the preceding data summaries' watermarks — a conservative
+    superset, exact under the monotonic-id contract except that it
+    may reach below the batch's true lo into id space no committed
+    batch occupies (harmless: carving empty id space out of the
+    membership probe changes nothing).
     """
-    done_toks = {s.get("batch") for s in _data_summaries(done)}
-    done_hi, _ = _watermark(done, key)
-    tails = []
+    done_toks = set()
+    for s in _data_summaries(done):
+        done_toks.add(s.get("batch"))
+        done_toks.update(s.get("heals") or [])
+    tails, prev_hi = [], None
     for s in _data_summaries(prior):
         tok = s.get("batch")
-        if tok is None or tok in done_toks:
-            continue
         hi = s.get(key)
-        if hi is None or done_hi is None or int(hi) > done_hi:
-            tails.append(s)
+        ranges = s.get("id_ranges")
+        if ranges is None and hi is not None:
+            lo = None if prev_hi is None else prev_hi + 1
+            ranges = [[lo, int(hi)]]
+        if hi is not None:
+            hi = int(hi)
+            prev_hi = hi if prev_hi is None else max(prev_hi, hi)
+        if tok is None or tok in done_toks or not ranges:
+            continue
+        tails.append({"batch": tok, "hi": hi, "ranges": ranges})
     return tails
+
+
+def _reprocess_cond(tails: list[dict], id_expr):
+    """Column predicate selecting ids inside any pending tail's id
+    ranges — these LOOK committed to a membership probe against the
+    tail's table but were never judged/marked done, so the story
+    filter must treat them as reprocessable, not as replays. None when
+    there are no usable tails."""
+    cond = None
+    for t in tails:
+        for lo, hi in t["ranges"]:
+            if hi is None:
+                continue
+            c = id_expr <= F.lit(int(hi))
+            if lo is not None:
+                c = c & (id_expr >= F.lit(int(lo)))
+            cond = c if cond is None else (cond | c)
+    return cond
+
+
+def _overlapping(tails: list[dict], lo: int, hi: int) -> list[dict]:
+    return [
+        t for t in tails
+        if any(
+            h is not None and int(h) >= lo and (l is None or int(l) <= hi)
+            for l, h in t["ranges"]
+        )
+    ]
+
+
+def _healed_tokens(tails: list[dict], lo: int, hi: int) -> list[str]:
+    """Tails whose every id range is fully covered by this batch's
+    input span [lo, hi] — the replay contract resubmits whole batches,
+    so span coverage is the metadata-only proxy for "this run
+    reprocessed that crashed batch". Stamped as ``heals`` on the done
+    table's append; a partially-covering run claims nothing and the
+    tail stays pending (safe: its ranges keep being reprocessable)."""
+    out = []
+    for t in tails:
+        ok = all(
+            h is not None and int(h) <= hi and (l is None or lo <= int(l))
+            for l, h in t["ranges"]
+        )
+        if ok:
+            out.append(t["batch"])
+    return out
+
+
+def _effective_ranges(
+    clipped: bool, lo_raw: int, hi_raw: int, watermark, tails: list[dict]
+) -> list[list[int]]:
+    """Driver-side ``[lo, hi]`` spans of the ids an add_batch call will
+    actually process: the above-watermark span plus the slices of
+    pending-tail ranges the input covers. Stamped as ``id_ranges`` so
+    a crash after THIS append leaves a tail whose ranges never claim
+    committed ids (a committed batch can sit between two pending
+    tails — a single [min, max] span would swallow it)."""
+    if not clipped:
+        return [[int(lo_raw), int(hi_raw)]]
+    out = []
+    if hi_raw > watermark:
+        out.append([int(watermark) + 1, int(hi_raw)])
+    for t in _overlapping(tails, lo_raw, hi_raw):
+        for l, h in t["ranges"]:
+            if h is None or int(h) < lo_raw or (l is not None and int(l) > hi_raw):
+                continue
+            lo_eff = int(lo_raw) if l is None else max(int(l), int(lo_raw))
+            out.append([lo_eff, min(int(h), int(hi_raw))])
+    return sorted(out)
 
 
 def _storage_buckets(df: DataFrame, table) -> list[int]:
@@ -365,35 +472,58 @@ class DedupStore:
             return docs
 
         d = docs
+        tails = _pending_tails(self.docs, self.index, "max_doc_id") if modern else []
+        reproc = _reprocess_cond(tails, did)
         if have_index and fast:
             stats["story_path"] = "watermark"
             if hi_index is not None and lo_raw <= hi_index:
-                # replay (ids already committed) or monotonicity
-                # violation (ids never seen) — membership probe against
-                # the docs table, pruned to the batch ids' storage
-                # buckets. The index commit is the done marker, but any
-                # id <= hi_index that IS committed necessarily reached
-                # the docs table first (docs append precedes index
-                # append), and any docs row <= hi_index belongs to a
-                # fully committed batch (a crashed tail's ids sit above
-                # hi_index under monotonic ingestion).
-                old_ids = d.filter(did <= hi_index).select(did.alias("doc_id"))
+                # replay (ids already committed), a crashed tail being
+                # replayed (ids committed to DOCS but never judged —
+                # their batch token never reached the index), or a
+                # monotonicity violation (ids never seen). The
+                # membership probe tests the docs table (bucketed by
+                # doc_id, prunable) while the done marker is the INDEX
+                # commit, so ids inside a pending tail's range pass the
+                # probe despite being un-judged — they are carved out
+                # as reprocessable BEFORE the probe and kept in ``d``.
+                committed = did <= hi_index
+                if reproc is not None:
+                    committed = committed & ~reproc
+                old_ids = d.filter(committed).select(did.alias("doc_id"))
                 db = _storage_buckets(old_ids, self.docs)
-                present = self.docs.read(spark, buckets=db).select("doc_id")
-                missing = (
-                    old_ids.join(present, "doc_id", "left_anti").limit(1).collect()
-                )
-                if missing:
-                    raise ValueError(
-                        f"add_batch: new ids must exceed all stored ids for the "
-                        f"batch==incremental equality contract (new min {lo_raw} "
-                        f"<= stored max {hi_index}); pass "
-                        "require_monotonic=False to override"
+                if db:
+                    present = self.docs.read(spark, buckets=db).select("doc_id")
+                    # prune_dropped reclaims dropped docs' rows from the
+                    # docs table but KEEPS their verdict rows — a
+                    # replayed batch containing pruned ids must still
+                    # read as committed, so the probe accepts ids from
+                    # either table (both bucketed by doc_id)
+                    if self.rejects.count_rows() > 0:
+                        rb = _storage_buckets(old_ids, self.rejects)
+                        present = present.unionByName(
+                            self.rejects.read(spark, buckets=rb).select("doc_id")
+                        )
+                    missing = (
+                        old_ids.join(present, "doc_id", "left_anti").limit(1).collect()
                     )
-                d = d.filter(did > hi_index)
-            if hi_index is not None and hi_raw <= hi_index:
-                # full replay of committed batches — story no-op
-                # (d is already filtered empty at this point)
+                    if missing:
+                        raise ValueError(
+                            f"add_batch: new ids must exceed all stored ids for the "
+                            f"batch==incremental equality contract (new min {lo_raw} "
+                            f"<= stored max {hi_index}); pass "
+                            "require_monotonic=False to override"
+                        )
+                keep = did > hi_index
+                if reproc is not None:
+                    keep = keep | reproc
+                d = d.filter(keep)
+            if (
+                hi_index is not None
+                and hi_raw <= hi_index
+                and not _overlapping(tails, lo_raw, hi_raw)
+            ):
+                # full replay of committed batches, no crashed tail in
+                # range — story no-op (d is already filtered empty)
                 stats["story_path"] = "watermark-replay-noop"
                 return d
         elif have_index:
@@ -426,10 +556,19 @@ class DedupStore:
             stats["story_path"] = "first-batch"
 
         batch_tok = uuid.uuid4().hex[:12]
-        batch_lo = lo_raw if not (fast and hi_index is not None and lo_raw <= hi_index) \
-            else hi_index + 1
+        clipped = fast and hi_index is not None and lo_raw <= hi_index
+        eff = _effective_ranges(clipped, lo_raw, hi_raw, hi_index, tails)
+        # heal anti-joins below filter to [batch_lo, batch_hi] — must
+        # cover reprocessed tail ids, which sit below the watermark
+        batch_lo = min((r[0] for r in eff), default=lo_raw)
         batch_hi = hi_raw
-        stamp = {"op": "add_batch", "batch": batch_tok, "max_doc_id": int(batch_hi)}
+        stamp = {
+            "op": "add_batch", "batch": batch_tok,
+            "max_doc_id": int(batch_hi), "id_ranges": eff,
+        }
+        healed = _healed_tokens(tails, int(lo_raw), int(hi_raw))
+        if healed:
+            stats["healed_tails"] = list(healed)
 
         new_banded = minhash_banded_rows(
             d, text_col, id_col,
@@ -559,8 +698,11 @@ class DedupStore:
         # The heal runs ONLY when snapshot metadata shows a crashed tail
         # (a docs/winnow batch token that never reached the index).
         texts_to_add = new_texts
-        heal = bool(_pending_tails(self.docs, self.index, "max_doc_id")) \
-            if modern else have_index
+        # legacy fallback keys on the DOCS table (the one being healed):
+        # an unstamped store whose first batch crashed after the docs
+        # append has an empty index but populated docs — gating on
+        # have_index would re-append those texts (ADVICE r6 #2)
+        heal = bool(tails) if modern else self.docs.count_rows() > 0
         if heal:
             stats["heal"] = True
             # bucket + range pruning are both safe here regardless of
@@ -580,8 +722,21 @@ class DedupStore:
             wheal = bool(_pending_tails(self.winnow_index, self.index, "max_doc_id")) \
                 if modern else self.winnow_index.count_rows() > 0
             if wheal:
+                # the winnow table buckets by h (content key), not
+                # doc_id — but a replayed crashed batch re-fingerprints
+                # the SAME texts, so any existing row with a doc_id in
+                # the batch range carries an h from this batch's own
+                # key set: prune the heal read to those keys' storage
+                # buckets (``sbw`` when the candidate path computed it)
+                wb = _storage_buckets(new_fp.select("h").distinct(), self.winnow_index)
+                wfiles = self.winnow_index.current_files()
+                wset = set(wb)
+                stats.update(
+                    winnow_heal_files_total=len(wfiles),
+                    winnow_heal_files_read=sum(1 for f in wfiles if f["bucket"] in wset),
+                )
                 already_fp = (
-                    self.winnow_index.read(spark)
+                    self.winnow_index.read(spark, buckets=wb)
                     .select("doc_id")
                     .filter((F.col("doc_id") >= batch_lo) & (F.col("doc_id") <= batch_hi))
                     .distinct()
@@ -600,7 +755,14 @@ class DedupStore:
             )
             rej_to_add = reject_rows.join(already_rej, "doc_id", "left_anti")
         self.rejects.append(rej_to_add, dict(stamp))
-        self.index.append(new_banded, {**stamp, **self.cfg})
+        # the index commit is the done marker; a replay that covered
+        # crashed tails declares them healed here, under ITS token —
+        # _pending_tails resolves tails by token only, never by the
+        # watermark having moved past them
+        idx_stamp = {**stamp, **self.cfg}
+        if healed:
+            idx_stamp["heals"] = list(healed)
+        self.index.append(new_banded, idx_stamp)
         new_banded.unpersist()
         pairs.unpersist()
         if new_fp is not None:
@@ -776,6 +938,19 @@ class EmbDedupStore:
             PartitionSpec.bucket(num_buckets, "vec_id"),
             if_not_exists=True,
         )
+        # persisted VERDICTS, mirroring DedupStore._dedup_rejects: one
+        # row per dropped vector with the smallest lower id it exact-
+        # cosine-verified against. Committed BEFORE the vectors append
+        # (the done marker), so by the time the story filter starts
+        # skipping a batch's ids every verdict of that batch is durable
+        # and a replayed CDC epoch recovers its kept set via
+        # :meth:`rejected_of` instead of re-judging.
+        self.rejects = cat.create_table(
+            "_embdedup_rejects",
+            parse_ddl("vec_id bigint, dup_of bigint"),
+            PartitionSpec.bucket(num_buckets, "vec_id"),
+            if_not_exists=True,
+        )
         for snap in self.buckets.meta["snapshots"]:
             summ = snap.get("summary", {})
             if "n_bits" not in summ:
@@ -855,23 +1030,40 @@ class EmbDedupStore:
             return vectors
 
         d = vectors
+        tails = _pending_tails(self.buckets, self.vectors, "max_vec_id") if modern else []
+        reproc = _reprocess_cond(tails, vid)
         if have_vecs and fast:
             stats["story_path"] = "watermark"
             if hi_vec is not None and lo_raw <= hi_vec:
-                old_ids = d.filter(vid <= hi_vec).select(vid.alias("vec_id"))
+                # ids of a crashed tail (bucket rows committed, vectors
+                # append — the done marker — never reached) sit below a
+                # later batch's watermark on replay; carve them out as
+                # reprocessable instead of failing the membership probe
+                committed = vid <= hi_vec
+                if reproc is not None:
+                    committed = committed & ~reproc
+                old_ids = d.filter(committed).select(vid.alias("vec_id"))
                 vb = _storage_buckets(old_ids, self.vectors)
-                present = self.vectors.read(spark, buckets=vb).select("vec_id")
-                missing = (
-                    old_ids.join(present, "vec_id", "left_anti").limit(1).collect()
-                )
-                if missing:
-                    raise ValueError(
-                        f"add_batch: new ids must exceed all stored ids (new min "
-                        f"{lo_raw} <= stored max {hi_vec}); pass "
-                        "require_monotonic=False to override"
+                if vb:
+                    present = self.vectors.read(spark, buckets=vb).select("vec_id")
+                    missing = (
+                        old_ids.join(present, "vec_id", "left_anti").limit(1).collect()
                     )
-                d = d.filter(vid > hi_vec)
-            if hi_vec is not None and hi_raw <= hi_vec:
+                    if missing:
+                        raise ValueError(
+                            f"add_batch: new ids must exceed all stored ids (new min "
+                            f"{lo_raw} <= stored max {hi_vec}); pass "
+                            "require_monotonic=False to override"
+                        )
+                keep = vid > hi_vec
+                if reproc is not None:
+                    keep = keep | reproc
+                d = d.filter(keep)
+            if (
+                hi_vec is not None
+                and hi_raw <= hi_vec
+                and not _overlapping(tails, lo_raw, hi_raw)
+            ):
                 stats["story_path"] = "watermark-replay-noop"
                 return d
         elif have_vecs:
@@ -898,10 +1090,17 @@ class EmbDedupStore:
             stats["story_path"] = "first-batch"
 
         batch_tok = uuid.uuid4().hex[:12]
-        batch_lo = lo_raw if not (fast and hi_vec is not None and lo_raw <= hi_vec) \
-            else hi_vec + 1
+        clipped = fast and hi_vec is not None and lo_raw <= hi_vec
+        eff = _effective_ranges(clipped, lo_raw, hi_raw, hi_vec, tails)
+        batch_lo = min((r[0] for r in eff), default=lo_raw)
         batch_hi = hi_raw
-        stamp = {"op": "add_batch", "batch": batch_tok, "max_vec_id": int(batch_hi)}
+        stamp = {
+            "op": "add_batch", "batch": batch_tok,
+            "max_vec_id": int(batch_hi), "id_ranges": eff,
+        }
+        healed = _healed_tokens(tails, int(lo_raw), int(hi_raw))
+        if healed:
+            stats["healed_tails"] = list(healed)
 
         new_b = _bucketed(
             d, id_col, vec_col, "vec_id",
@@ -964,43 +1163,98 @@ class EmbDedupStore:
         vecs = vecs.join(touched, "vec_id", "left_semi")
         av = vecs.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
         bv = vecs.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
-        dropped = (
+        verified = (
             pairs.join(av, "a_id")
             .join(bv, "b_id")
             .filter(
                 F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4)
                 >= self.cfg["threshold"]
             )
-            .select(F.col("b_id").alias("_drop"))
-            .distinct()
+            .select("a_id", "b_id")
         )
+        dropped = verified.select(F.col("b_id").alias("_drop")).distinct()
         kept = d.join(dropped, vid == F.col("_drop"), "left_anti")
+        # verdict rows: each dropped vector with the smallest lower id
+        # it verified against (deterministic representative)
+        reject_rows = verified.groupBy(F.col("b_id").alias("vec_id")).agg(
+            F.min("a_id").alias("dup_of")
+        )
 
         # bucket index first, vectors last — the vectors commit is the
         # done marker the story filter keys on; a crashed tail (bucket
         # rows whose token never reached the vectors table) triggers
         # the heal anti-join on the NEXT run, detected from metadata
         b_to_add = new_b
-        heal = bool(_pending_tails(self.buckets, self.vectors, "max_vec_id")) \
-            if modern else have_idx
+        heal = bool(tails) if modern else have_idx
         if heal:
             stats["heal"] = True
+            # the buckets table buckets by the hash value, not vec_id —
+            # but a replayed crashed batch re-buckets the SAME vectors,
+            # so existing rows with a vec_id in the batch range carry
+            # (tbl, bucket) keys from this batch's own key set: prune
+            # the heal read to those keys' storage buckets
+            hb = _storage_buckets(new_b.select("tbl", "bucket").distinct(), self.buckets)
+            hfiles = self.buckets.current_files()
+            hset = set(hb)
+            stats.update(
+                heal_files_total=len(hfiles),
+                heal_files_read=sum(1 for f in hfiles if f["bucket"] in hset),
+            )
             already = (
-                self.buckets.read(spark)
+                self.buckets.read(spark, buckets=hb)
                 .select("vec_id")
                 .filter((F.col("vec_id") >= batch_lo) & (F.col("vec_id") <= batch_hi))
                 .distinct()
             )
             b_to_add = new_b.join(already, "vec_id", "left_anti")
         self.buckets.append(b_to_add, {**stamp, **self.cfg})
-        self.vectors.append(new_vecs, dict(stamp))
+        rej_to_add = reject_rows
+        rheal = bool(_pending_tails(self.rejects, self.vectors, "max_vec_id")) \
+            if modern else self.rejects.count_rows() > 0
+        if rheal:
+            rb = _storage_buckets(new_ids, self.rejects)
+            already_rej = (
+                self.rejects.read(spark, buckets=rb)
+                .select("vec_id")
+                .filter((F.col("vec_id") >= batch_lo) & (F.col("vec_id") <= batch_hi))
+            )
+            rej_to_add = reject_rows.join(already_rej, "vec_id", "left_anti")
+        self.rejects.append(rej_to_add, dict(stamp))
+        # the vectors commit is the done marker; replays covering
+        # crashed tails declare them healed here (same contract as the
+        # text store's index commit)
+        vec_stamp = dict(stamp)
+        if healed:
+            vec_stamp["heals"] = list(healed)
+        self.vectors.append(new_vecs, vec_stamp)
         new_b.unpersist()
         pairs.unpersist()
         return kept
 
+    def rejected_of(
+        self, spark: SparkSession, ids: DataFrame, id_col: str = "vec_id"
+    ) -> DataFrame:
+        """(vec_id, dup_of) for the subset of ``ids`` the store has
+        dropped — a bucket-pruned read of the persisted verdicts, valid
+        for any mix of new and previously-ingested ids (same replay-
+        recovery contract as :meth:`DedupStore.rejected_of`: verdicts
+        commit BEFORE the vectors done-marker). Batches ingested by a
+        pre-round-7 store predate the verdicts table and return no
+        rows — re-ingest or treat those epochs as all-kept."""
+        self.rejects.refresh()
+        idf = ids.select(F.col(id_col).cast("bigint").alias("vec_id")).distinct()
+        if self.rejects.count_rows() == 0:  # manifest stats, no scan
+            return idf.limit(0).withColumn("dup_of", F.lit(None).cast("bigint"))
+        rb = _storage_buckets(idf, self.rejects)
+        return self.rejects.read(spark, buckets=rb).join(idf, "vec_id", "left_semi")
+
     # -- maintenance (same contract as DedupStore.compact/expire) ----
     def _tables(self):
-        return {"buckets": self.buckets, "vectors": self.vectors}
+        return {
+            "buckets": self.buckets,
+            "vectors": self.vectors,
+            "rejects": self.rejects,
+        }
 
     def compact(self, spark: SparkSession) -> dict:
         out = {}

@@ -515,3 +515,227 @@ def test_remove_orphans_cleans_crashed_batch_files(spark, corpus, tmp_path):
     assert store.add_batch(spark, corpus.filter("doc_id < 100")).count() == 0
     kept = _ids(store.add_batch(spark, corpus.filter("doc_id >= 100 AND doc_id < 200")))
     assert kept == [102]
+
+
+def test_crash_tail_replayed_after_later_batch_commits(spark, corpus, tmp_path):
+    """ADVICE r6 (high): batch A crashes before its index commit, then a
+    LATER batch B commits fully, advancing the index watermark past A's
+    ids. Replaying A must REPROCESS it — A's ids pass the docs
+    membership probe (its docs append committed) yet were never judged
+    — not return a silent watermark-replay-noop that loses A's kept
+    set, band rows, and verdicts forever. Tails resolve by TOKEN, never
+    by the watermark having moved past them."""
+    wh = str(tmp_path / "wh")
+    store = DedupStore(wh, **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100")).count()
+
+    batch_a = corpus.filter("doc_id >= 100 AND doc_id < 200")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the index commit")
+
+    store.index.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.add_batch(spark, batch_a)
+
+    # a LATER batch commits fully before A is replayed; 201's twin
+    # (102) was never indexed because A crashed, so 201 survives here
+    # (out-of-order ingestion: the pair (102, 201) is only judged when
+    # its HIGHER id is new, and 201 committed while 102 was pending)
+    store_b = DedupStore(wh, **PARAMS)
+    kept_b = _ids(store_b.add_batch(spark, corpus.filter("doc_id >= 200")))
+    assert kept_b == [201, 202]
+
+    # replay A: must reprocess, not no-op
+    store_c = DedupStore(wh, **PARAMS)
+    kept_a = _ids(store_c.add_batch(spark, batch_a))
+    st = store_c.last_batch_stats
+    assert st["story_path"] == "watermark", st
+    assert kept_a == [102]  # 101 ~ 1, 103 ~ 4 dropped, same as clean run
+    assert st.get("healed_tails"), "replay must claim the crashed tail healed"
+    rej = store_c.rejected_of(
+        spark, spark.createDataFrame([(101,), (102,), (103,)], "doc_id bigint")
+    )
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(101, 1), (103, 4)}
+    assert store_c.index.read(spark).filter("doc_id IN (101,102,103)").count() > 0
+    docs_df = store_c.docs.read(spark)
+    assert docs_df.count() == docs_df.select("doc_id").distinct().count()
+
+    # the tail is RESOLVED by the heals stamp: replaying A again is now
+    # the zero-scan story no-op, and no duplicate band rows exist
+    store_d = DedupStore(wh, **PARAMS)
+    assert store_d.add_batch(spark, batch_a).count() == 0
+    assert store_d.last_batch_stats["story_path"] == "watermark-replay-noop"
+    idx = store_d.index.read(spark).filter("doc_id IN (101,102,103)")
+    assert idx.count() == idx.distinct().count()
+
+
+def test_legacy_unstamped_crashed_docs_append_heals(spark, corpus, tmp_path):
+    """ADVICE r6 #2: a pre-round-6 (unstamped) store whose first batch
+    crashed after the docs append has an EMPTY index but populated
+    docs. The legacy heal gate must key on the DOCS table (the one
+    being healed), not the index — otherwise the replay re-appends the
+    same texts and duplicates doc_id rows, inflating every later
+    verify."""
+    store = DedupStore(str(tmp_path / "wh"), **PARAMS)
+    b1 = corpus.filter("doc_id < 100")
+    # simulate the legacy crashed state: docs rows committed WITHOUT
+    # round-6 summary stamps, index/rejects still empty
+    store.docs.append(
+        b1.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"),
+        {"op": "legacy"},
+    )
+    kept = _ids(store.add_batch(spark, b1))
+    docs_df = store.docs.read(spark)
+    assert docs_df.count() == docs_df.select("doc_id").distinct().count(), (
+        "legacy heal must not duplicate docs rows"
+    )
+    assert kept == [1, 3, 4]
+    assert store.corpus_size() == 4
+
+
+def test_replay_after_prune_dropped_is_noop(spark, corpus, tmp_path):
+    """ADVICE r6 #3: prune_dropped removes dropped docs' rows from the
+    docs table, but their verdict rows are kept BY DESIGN — so a replay
+    of a fully-committed batch containing pruned ids must still read as
+    committed (the membership probe accepts verdict rows too): a story
+    no-op, not a spurious monotonicity ValueError."""
+    store = DedupStore(str(tmp_path / "wh"), **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100")).count()
+    store.add_batch(spark, corpus.filter("doc_id >= 100 AND doc_id < 200")).count()
+    res = store.prune_dropped(spark, before_doc_id=200)  # prunes 2, 101, 103
+    assert res["pruned_docs"] == 3
+
+    again = store.add_batch(spark, corpus.filter("doc_id < 100"))
+    assert again.count() == 0
+    assert store.last_batch_stats["story_path"] == "watermark-replay-noop"
+    again2 = store.add_batch(
+        spark, corpus.filter("doc_id >= 100 AND doc_id < 200")
+    )
+    assert again2.count() == 0
+
+    # a genuinely unseen low id is still a loud monotonicity violation
+    bad = spark.createDataFrame(
+        [(50, "never seen before text about nothing in particular")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="monotonic"):
+        store.add_batch(spark, bad)
+
+
+def test_prune_dropped_one_sided_equality_weakening(spark, tmp_path):
+    """VERDICT r6 #6: pin the documented prune_dropped trade — a future
+    doc whose ONLY verified match is a pruned DROPPED doc is now KEPT
+    (the one-shot run over the full history would have dropped it).
+    Constructed chain: X ~ W (X dropped), Y ~ X but Y !~ W."""
+    words = [f"w{i}" for i in range(1, 21)]
+    w_text = " ".join(words)
+    x_text = " ".join(words[:12] + [f"x{i}" for i in range(8)])
+    y_text = " ".join([f"y{i}" for i in range(8)] + words[8:12] + [f"x{i}" for i in range(8)])
+    corpus2 = spark.createDataFrame(
+        [(1, w_text), (2, x_text), (101, y_text)], "doc_id bigint, text string"
+    )
+    params = dict(num_hashes=32, bands=32, threshold=0.35)
+
+    # sanity: in the one-shot pairwise run, X drops against W and Y
+    # drops against X (but Y does NOT verify against W)
+    one_shot = _ids(dedupe.near_dedup_minhash(corpus2, transitive=False, **params))
+    assert one_shot == [1], one_shot
+
+    # without pruning, the incremental store matches the one-shot
+    ctrl = DedupStore(str(tmp_path / "ctrl"), **params)
+    assert _ids(ctrl.add_batch(spark, corpus2.filter("doc_id < 100"))) == [1]
+    assert _ids(ctrl.add_batch(spark, corpus2.filter("doc_id >= 100"))) == []
+
+    # with X's state pruned, Y's only match is gone -> Y is kept
+    store = DedupStore(str(tmp_path / "wh"), **params)
+    assert _ids(store.add_batch(spark, corpus2.filter("doc_id < 100"))) == [1]
+    assert store.prune_dropped(spark, before_doc_id=100)["pruned_docs"] == 1
+    kept = _ids(store.add_batch(spark, corpus2.filter("doc_id >= 100")))
+    assert kept == [101], (
+        "documented one-sided weakening: a doc whose only verified "
+        "match was pruned must be kept"
+    )
+
+
+def test_emb_crash_tail_replayed_after_later_batch_commits(spark, tmp_path):
+    """EmbDedupStore analog of the token-only tail fix: bucket rows
+    committed, vectors (done marker) crash, later batch commits, then
+    the replay must reprocess the tail instead of raising a spurious
+    monotonicity error — and resolve it via the heals stamp."""
+    from getl_spark.dedupstore import EmbDedupStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    params = dict(dim=64, threshold=0.3, n_bits=6, n_tables=4, seed=99,
+                  max_bucket=None)
+    wh = str(tmp_path / "wh")
+    store = EmbDedupStore(wh, **params)
+    store.add_batch(spark, emb.filter("vec_id <= 150")).count()
+
+    batch_a = emb.filter("vec_id > 150 AND vec_id <= 160")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the vectors commit")
+
+    store.vectors.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.add_batch(spark, batch_a)
+
+    store_b = EmbDedupStore(wh, **params)
+    store_b.add_batch(spark, emb.filter("vec_id > 300")).count()
+
+    store_c = EmbDedupStore(wh, **params)
+    kept_a = store_c.add_batch(spark, batch_a)
+    st = store_c.last_batch_stats
+    assert st["story_path"] == "watermark", st
+    assert kept_a.count() > 0
+    assert st.get("healed_tails")
+    assert st["heal"] is True
+    # heal read is pruned to the batch keys' storage buckets
+    assert st["heal_files_read"] < st["heal_files_total"]
+    bkt = store_c.buckets.read(spark).filter("vec_id > 150 AND vec_id <= 160")
+    assert bkt.count() == bkt.select("vec_id", "tbl", "bucket").distinct().count()
+
+    # tail resolved: replaying again is the zero-scan story no-op
+    store_d = EmbDedupStore(wh, **params)
+    assert store_d.add_batch(spark, batch_a).count() == 0
+    assert store_d.last_batch_stats["story_path"] == "watermark-replay-noop"
+    assert store_d.corpus_size() == emb.filter("vec_id <= 160 OR vec_id > 300").count()
+
+
+def test_heal_reads_are_pruned(spark, tmp_path):
+    """VERDICT r6 #4: the winnow heal anti-join (like the docs heal)
+    must read a pruned file subset, not the full index — a replayed
+    crashed batch re-fingerprints the same texts, so existing rows for
+    its ids live in its own keys' storage buckets."""
+    rows = [
+        (i, f"document number {i} with some distinct words {i * 7} {i * 13} {i * 29}")
+        for i in range(200)
+    ]
+    seedc = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wh = str(tmp_path / "wh")
+    wc = {"k": 4, "w": 4, "min_shared": 2}
+    store = DedupStore(wh, num_hashes=16, bands=8, threshold=0.5,
+                       num_buckets=64, winnow=wc)
+    store.add_batch(spark, seedc).count()
+
+    one = spark.createDataFrame(
+        [(500, "a genuinely new document about heal scan pruning")],
+        "doc_id bigint, text string",
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the index commit")
+
+    store.index.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.add_batch(spark, one)
+
+    store2 = DedupStore(wh, num_hashes=16, bands=8, threshold=0.5,
+                        num_buckets=64, winnow=wc)
+    store2.add_batch(spark, one).count()
+    st = store2.last_batch_stats
+    assert st["heal"] is True
+    assert 0 < st["winnow_heal_files_read"] < st["winnow_heal_files_total"], st
