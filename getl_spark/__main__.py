@@ -107,6 +107,19 @@ def main(argv=None):
         "if absent; an existing store reopens under its own stored "
         "config); may be a lake connection name with --config",
     )
+    tail.add_argument(
+        "--embdedup-store", default=None, metavar="WAREHOUSE",
+        help="run EMBEDDING near-dedup as the pre-merge stage against "
+        "the EmbDedupStore at this warehouse (events must carry an "
+        "'embedding' array column); mutually exclusive with "
+        "--dedup-store",
+    )
+    tail.add_argument(
+        "--embdedup-dim", type=int, default=None,
+        help="vector dimension — required when --embdedup-store "
+        "creates a NEW store (an existing store reopens under its "
+        "own stored config)",
+    )
     tail.add_argument("--config", action="append", default=[], help=config_help)
 
     stream = sub.add_parser("stream")
@@ -322,6 +335,8 @@ def main(argv=None):
 
         reg = _registry(args.config)
         store = None
+        if args.dedup_store and args.embdedup_store:
+            p.error("--dedup-store and --embdedup-store are mutually exclusive")
         if args.dedup_store:
             from getl_spark.dedupstore import DedupStore
 
@@ -330,6 +345,19 @@ def main(argv=None):
                 store = DedupStore.open(swh)
             except ValueError:
                 store = DedupStore(swh)  # new store, library defaults
+        elif args.embdedup_store:
+            from getl_spark.dedupstore import EmbDedupStore
+
+            swh = _resolve_warehouse(args.embdedup_store, reg)
+            try:
+                store = EmbDedupStore.open(swh)
+            except ValueError:
+                if not args.embdedup_dim:
+                    p.error(
+                        "--embdedup-dim is required when --embdedup-store "
+                        "creates a new store"
+                    )
+                store = EmbDedupStore(swh, dim=args.embdedup_dim)
         pipe = CDCPipeline(
             spark,
             _resolve_warehouse(args.warehouse, reg),

@@ -73,6 +73,7 @@ class CDCPipeline:
         verify_unique_seq: bool = True,
         schema_policy: str | None = None,
         dedup_store=None,
+        dedup_column=None,
     ):
         """``merge_mode``:
 
@@ -89,9 +90,13 @@ class CDCPipeline:
         stamped in the same atomic commit) and identical final state.
 
         ``dedup_store``: an optional :class:`~getl_spark.dedupstore.
-        DedupStore` run as a PRE-MERGE stage — each epoch's winner
-        rows (I/U events with content) are near-dedup'd against the
-        standing corpus keyed by ``seq`` as the doc id; dropped
+        DedupStore` (text MinHash/winnow) or :class:`~getl_spark.
+        dedupstore.EmbDedupStore` (embedding LSH + exact cosine) run
+        as a PRE-MERGE stage — each epoch's winner rows (I/U events
+        with content) are near-dedup'd against the standing corpus
+        keyed by ``seq`` as the doc id; ``dedup_column`` overrides
+        the judged column (default ``content`` for the text store,
+        ``embedding`` for the vector store); dropped
         events never reach the MERGE (the key keeps its prior state)
         and are durably recorded in the store's ``_dedup_rejects``
         table. Replay-safe by construction: the store's verdicts
@@ -164,6 +169,7 @@ class CDCPipeline:
         self.checkpoints = CheckpointManager(self.catalog, method=checkpoint_method)
         self.lineage = LineageRecorder(self.catalog, legacy_owner=name)
         self.dedup_store = dedup_store
+        self.dedup_column = dedup_column
         self.last_dedup_stats: dict = {}
 
     # ------------------------------------------------------------ one epoch
@@ -370,18 +376,37 @@ class CDCPipeline:
         through untouched. The kept set comes from the store's
         PERSISTED verdicts, not add_batch's return value, so a replay
         of an already-ingested epoch — where the story filter returns
-        nothing new — recovers the identical kept set."""
-        docs = winners.filter(
-            (F.col("op") != "D") & F.col("content").isNotNull()
-        ).select(
-            F.col("seq").cast("bigint").alias("doc_id"),
-            F.col("content").alias("text"),
-        )
-        self.dedup_store.add_batch(self.spark, docs)
-        self.last_dedup_stats = dict(self.dedup_store.last_batch_stats)
-        rejected = self.dedup_store.rejected_of(self.spark, docs)
+        nothing new — recovers the identical kept set.
+
+        Accepts either store kind: a text :class:`DedupStore` (judged
+        on ``content``, or ``dedup_column``) or an
+        :class:`EmbDedupStore` (judged on an ``array``-typed embedding
+        column — events carrying vectors alongside/instead of text).
+        Both expose the same add_batch / rejected_of replay contract."""
+        store = self.dedup_store
+        is_emb = hasattr(store, "vectors")  # EmbDedupStore
+        col = self.dedup_column or ("embedding" if is_emb else "content")
+        if is_emb:
+            rows = winners.filter(
+                (F.col("op") != "D") & F.col(col).isNotNull()
+            ).select(
+                F.col("seq").cast("bigint").alias("vec_id"),
+                F.col(col).cast("array<double>").alias("embedding"),
+            )
+            id_out = "vec_id"
+        else:
+            rows = winners.filter(
+                (F.col("op") != "D") & F.col(col).isNotNull()
+            ).select(
+                F.col("seq").cast("bigint").alias("doc_id"),
+                F.col(col).alias("text"),
+            )
+            id_out = "doc_id"
+        store.add_batch(self.spark, rows)
+        self.last_dedup_stats = dict(store.last_batch_stats)
+        rejected = store.rejected_of(self.spark, rows)
         return winners.join(
-            rejected.select(F.col("doc_id").alias("seq")), "seq", "left_anti"
+            rejected.select(F.col(id_out).alias("seq")), "seq", "left_anti"
         )
 
     def _resolve_auto_salt(self, events: DataFrame, per_key: DataFrame) -> None:

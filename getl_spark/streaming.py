@@ -46,6 +46,7 @@ class StreamingTailer:
         keep_snapshots: int | None = None,
         compact_every: int | None = None,
         dedup_store=None,
+        dedup_column=None,
     ):
         """The always-on knobs pass straight through to the pipeline:
         ``write_salt="auto"`` (histogram-sized skew salt),
@@ -68,6 +69,7 @@ class StreamingTailer:
             keep_snapshots=keep_snapshots,
             compact_every=compact_every,
             dedup_store=dedup_store,
+            dedup_column=dedup_column,
         )
 
     def run_available_now(self, event_log_path: str) -> int:

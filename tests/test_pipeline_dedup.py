@@ -286,3 +286,148 @@ def test_cli_stream_with_dedup_store(spark, tmp_path, capsys):
 
     pipe = CDCPipeline(spark, str(tmp_path / "wh"), num_buckets=8)
     assert _state(pipe) == EXPECTED
+
+
+# -- EmbDedupStore composition (VERDICT r6 #2): embedding events -----
+
+V1 = [1.0 + 0.01 * i for i in range(64)]
+V2 = [(-1.0) ** i * (1.0 + 0.005 * i) for i in range(64)]
+V3 = [1.0 if i < 8 else -0.25 for i in range(64)]
+V4 = [0.1 * ((i * 7) % 13 - 6) for i in range(64)]
+
+
+def _scale(v, k):
+    return [x * k for x in v]
+
+
+def _emb_events(spark, rows):
+    """rows: (seq, op, repo, path, embedding|None) — events carrying a
+    vector column instead of text content."""
+    data = [
+        (seq, op, repo, path, f"c{seq:040d}"[:40], "py", None, _ts(seq), emb)
+        for seq, op, repo, path, emb in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "seq bigint, op string, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp, "
+        "embedding array<double>",
+    )
+
+
+# a scaled copy has cosine exactly 1.0 AND identical hyperplane signs,
+# so the LSH candidate + exact-cosine verify are both deterministic
+EMB_EPOCH0 = [
+    (10, "I", "r1", "a.py", V1),
+    (20, "I", "r1", "b.py", V2),
+    (30, "I", "r2", "c.py", _scale(V1, 1.001)),  # near-dup of 10 -> rejected
+]
+EMB_EPOCH1 = [
+    (110, "I", "r2", "d.py", _scale(V2, 0.999)),  # cross-epoch near-dup of 20
+    (120, "I", "r3", "e.py", V3),                  # novel -> kept
+    (130, "U", "r1", "a.py", V4),                  # kept update
+    (140, "D", "r1", "b.py", None),                # tombstone passes through
+]
+EMB_EXPECTED = {("r1", "a.py"), ("r3", "e.py")}
+
+
+def _mk_emb(spark, wh, **kw):
+    from getl_spark.dedupstore import EmbDedupStore
+
+    store = EmbDedupStore(
+        str(wh), dim=64, threshold=0.95, n_bits=6, n_tables=4, seed=99,
+        max_bucket=None, num_buckets=16,
+    )
+    pipe = CDCPipeline(spark, str(wh), num_buckets=8, dedup_store=store, **kw)
+    return pipe, store
+
+
+def _keys(pipe):
+    return {(r.repo, r.path) for r in pipe.state().select("repo", "path").collect()}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_emb_dedup_premerge_end_to_end(spark, tmp_path, mode):
+    """VERDICT r6 #2: the pre-merge stage accepts an EmbDedupStore —
+    embedding events near-dedup'd against the standing vector corpus,
+    dropped seqs never reach the MERGE, verdicts durable, replays
+    no-ops on both layers."""
+    ev = _emb_events(spark, EMB_EPOCH0 + EMB_EPOCH1)
+    pipe, store = _mk_emb(spark, tmp_path / f"wh_{mode}", merge_mode=mode)
+    results = pipe.replay(ev, 100)
+    assert [r.applied for r in results] == [True, True]
+    assert _keys(pipe) == EMB_EXPECTED
+
+    rej = {r.vec_id: r.dup_of for r in store.rejects.read(spark).collect()}
+    assert rej == {30: 10, 110: 20}
+
+    # re-run is a no-op on BOTH layers and the state is unchanged
+    assert pipe.replay(ev, 100) == []
+    pipe_again, store_again = _mk_emb(spark, tmp_path / f"wh_{mode}", merge_mode=mode)
+    forced = pipe_again.apply_epoch(ev.filter("seq <= 100"), 0)
+    assert forced.applied is False
+    assert store_again.last_batch_stats["story_path"] == "watermark-replay-noop"
+    assert _keys(pipe_again) == EMB_EXPECTED
+    assert store_again.corpus_size() == 6  # no duplicate vector rows
+
+
+def test_emb_crash_between_store_and_merge_recovers_kept_set(spark, tmp_path):
+    """The hard window for the EMBEDDING store: verdicts/vectors commit,
+    the process dies before the MERGE. The replay's add_batch is a
+    story no-op, so the kept set MUST come from the persisted
+    _embdedup_rejects via rejected_of — and equal the clean run's."""
+    wh = tmp_path / "wh"
+    ev = _emb_events(spark, EMB_EPOCH0 + EMB_EPOCH1)
+    pipe, _ = _mk_emb(spark, wh)
+    pipe.replay(ev, 100, stop_after_epoch=0)
+
+    pipe2, store2 = _mk_emb(spark, wh)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash after the store commit")
+
+    pipe2.target.merge = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe2.apply_epoch(ev.filter("seq > 100"), 1)
+    assert store2.corpus_size() == 6  # the store DID commit epoch 1
+
+    pipe3, store3 = _mk_emb(spark, wh)
+    res = pipe3.replay(ev, 100)  # resumes at epoch 1
+    assert [r.epoch for r in res] == [1] and res[0].applied
+    assert store3.last_batch_stats["story_path"] == "watermark-replay-noop"
+    assert _keys(pipe3) == EMB_EXPECTED
+    rej = {r.vec_id: r.dup_of for r in store3.rejects.read(spark).collect()}
+    assert rej == {30: 10, 110: 20}
+
+
+def test_cli_tail_with_embdedup_store(spark, tmp_path, capsys):
+    """CLI surface: tail --embdedup-store creates the store on first
+    use (--embdedup-dim required) and reopens it under its own stored
+    config on the second run — verdict counts accumulate cross-run."""
+    import json as _json
+
+    from getl_spark.__main__ import main
+
+    log1, log2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    _emb_events(spark, EMB_EPOCH0).write.parquet(log1)
+    _emb_events(spark, EMB_EPOCH1).write.parquet(log2)
+    wh, swh = str(tmp_path / "wh"), str(tmp_path / "store")
+
+    rc = main(["tail", "--events", log1, "--warehouse", wh,
+               "--epoch-size", "100", "--num-buckets", "8",
+               "--embdedup-store", swh, "--embdedup-dim", "64"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dedup_rejects"] == 1  # seq 30 near-dups seq 10
+    assert out["rows"] == 2
+
+    # reopen: no --embdedup-dim needed, stored config wins
+    rc = main(["tail", "--events", log2, "--warehouse", wh,
+               "--epoch-size", "100", "--num-buckets", "8",
+               "--embdedup-store", swh])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dedup_rejects"] == 2  # + seq 110 near-dups seq 20
+
+    pipe = CDCPipeline(spark, wh, num_buckets=8)
+    assert _keys(pipe) == EMB_EXPECTED
