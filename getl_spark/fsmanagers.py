@@ -427,14 +427,19 @@ class FTPFileManager(FileManager):
 
         # many servers refuse RNTO onto an existing file; mirror the
         # SFTP fallback so upload() can overwrite an already-landed
-        # destination (re-copy after a story gap / changed source)
+        # destination (re-copy after a story gap / changed source).
+        # Delete dst ONLY when the refusal is plausibly RNTO-onto-
+        # existing — src still present to rename AND dst actually
+        # there. Any other 5xx (RNFR on a vanished src, quota, dir
+        # perms) re-raises with dst left intact: delete-then-fail-
+        # again would destroy the previously landed file and leave
+        # NEITHER copy (ADVICE r6 #4).
         try:
             self.ftp.rename(src, dst)
         except ftplib.error_perm:
-            try:
-                self.ftp.delete(dst)
-            except ftplib.error_perm:
-                pass  # dst absent — the original failure was real
+            if not self.exists(src) or not self.exists(dst):
+                raise
+            self.ftp.delete(dst)
             self.ftp.rename(src, dst)
 
 

@@ -505,6 +505,17 @@ def test_live_ftp_round_trip(tmp_path):
             # no torn .__copying_ temp left beside the landed file
             assert [x.name for x in m.list_dir("/in/a")] == ["f.txt"]
 
+            # ADVICE r6 #4: a rename whose failure is NOT RNTO-onto-
+            # existing (here: RNFR on a missing src) must re-raise and
+            # leave the landed destination INTACT — the old fallback
+            # deleted dst first and then failed again, destroying it
+            import ftplib
+
+            with pytest.raises(ftplib.error_perm):
+                m.rename("/in/a/ghost.txt", "/in/a/f.txt")
+            with m.open_read("/in/a/f.txt") as fh:
+                assert fh.read() == b"world!"
+
             m.delete("/in/a/f.txt")
             assert not m.exists("/in/a/f.txt")
             with pytest.raises(FileNotFoundError):
