@@ -210,6 +210,25 @@ def main():
                 "random": _recall(), "trained": _recall(train=True),
             }
 
+            # -- phase 3d: the TUNED operating point (VERDICT r6 #5) —
+            # the fixed n_probe=2 above shows the cell-truncation trade,
+            # not the shipped quality: a user runs tune_n_probe once per
+            # build and searches at the stored recall-targeted probe
+            # count. Report that dial beside the untuned one.
+            from getl_spark.annindex import AnnIndex
+
+            idx = AnnIndex(
+                os.path.join(tmp, "annwh"), dim=64, n_centroids=16
+            )
+            idx.build(spark, emb, train=True)
+            tuned = idx.tune_n_probe(
+                spark, q20, k=5, target_recall=0.95, sample=20
+            )
+            ivf_recall["tuned"] = {
+                "n_probe": int(tuned["n_probe"]),
+                "recall": round(float(tuned["recall"]), 3),
+            }
+
         out = {
             "metric": "cdc_replay_plus_queries_total",
             "value": round(sum(timings.values()), 3),

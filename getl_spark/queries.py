@@ -1025,9 +1025,15 @@ def q_incremental_near_dedup(spark, sf_dir):
     row = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
     lo, hi = row["lo"], row["hi"]
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
-    # the store outlives this call: the returned DataFrame reads the
-    # kept docs lazily from its tables (OS tmp; driver-sized corpus)
+    # the store must outlive this call (the returned DataFrame reads
+    # the kept docs lazily from its tables), so it can't be a context-
+    # managed tempdir — register an atexit sweep instead of leaking
+    # one getl_incdedup_* warehouse per check_oracles run (VERDICT r6)
+    import atexit
+    import shutil
+
     wh = tempfile.mkdtemp(prefix="getl_incdedup_")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
     store = DedupStore(
         wh,
         num_hashes=_MH_HASHES,
