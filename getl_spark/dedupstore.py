@@ -449,6 +449,7 @@ class DedupStore:
         per-batch cost contract and how each scan is pruned."""
         self.index.refresh()
         self.docs.refresh()
+        self.rejects.refresh()
         if self.winnow_index is not None:
             self.winnow_index.refresh()
         stats = self.last_batch_stats = {"heal": False}
@@ -902,8 +903,12 @@ class EmbDedupStore:
     one-shot pairwise drop over ``embedding_near_dups`` pairs; with a
     cap the incremental run is strictly more aggressive (pairs are
     judged before their bucket can cross the cap). The VECTORS table
-    commit is the batch's done marker (bucket index appended first,
-    healed on replay when a crashed tail is detected).
+    commit is the batch's done marker (bucket index + verdicts
+    appended first, healed on replay when a crashed tail is
+    detected). Verdicts persist in ``_embdedup_rejects`` and surface
+    through :meth:`rejected_of`, so this store composes into the CDC
+    pipeline's pre-merge stage with the same replay-recovery
+    guarantees as :class:`DedupStore`.
     """
 
     def __init__(
@@ -1009,6 +1014,7 @@ class EmbDedupStore:
 
         self.buckets.refresh()
         self.vectors.refresh()
+        self.rejects.refresh()
         stats = self.last_batch_stats = {"heal": False}
         have_vecs = self.vectors.count_rows() > 0
         have_idx = self.buckets.count_rows() > 0
@@ -1046,6 +1052,14 @@ class EmbDedupStore:
                 vb = _storage_buckets(old_ids, self.vectors)
                 if vb:
                     present = self.vectors.read(spark, buckets=vb).select("vec_id")
+                    # prune_dropped reclaims dropped vectors but keeps
+                    # their verdict rows — replayed batches containing
+                    # pruned ids must still read as committed
+                    if self.rejects.count_rows() > 0:
+                        rb = _storage_buckets(old_ids, self.rejects)
+                        present = present.unionByName(
+                            self.rejects.read(spark, buckets=rb).select("vec_id")
+                        )
                     missing = (
                         old_ids.join(present, "vec_id", "left_anti").limit(1).collect()
                     )
@@ -1277,3 +1291,44 @@ class EmbDedupStore:
             name: t.remove_orphan_files(older_than_seconds)
             for name, t in self._tables().items()
         }
+
+    def prune_dropped(self, spark: SparkSession, before_vec_id: int) -> dict:
+        """RETENTION, mirroring :meth:`DedupStore.prune_dropped`:
+        reclaim the bucket rows and vectors of DROPPED vecs with
+        ``vec_id < before_vec_id``; their verdict rows are KEPT so
+        ``rejected_of`` replay recovery works at any depth. Same
+        documented one-sided equality change: a future vector whose
+        ONLY verified match was pruned will now be kept."""
+        before = int(before_vec_id)
+        self.rejects.refresh()
+        old = (
+            self.rejects.read(spark)
+            .filter(F.col("vec_id") < before)
+            .select("vec_id")
+            .persist()
+        )
+        stamp = {"maintenance": "prune_dropped", "before_vec_id": before}
+        out = {"pruned_vecs": old.count()}
+        try:
+            if out["pruned_vecs"] == 0:
+                return out
+            for name, t in self._tables().items():
+                if name == "rejects":
+                    continue
+                t.refresh()
+                # vectors buckets by vec_id (prunable rewrite); the
+                # bucket index buckets by the hash value — its rewrite
+                # touches every bucket holding any dropped row
+                # (heavyweight, periodic, never per-batch)
+                if name == "vectors":
+                    bks = _storage_buckets(old, t)
+                    keep = t.read(spark, buckets=bks).join(
+                        old, "vec_id", "left_anti"
+                    )
+                    t.overwrite_buckets(keep, bks, dict(stamp))
+                else:
+                    keep = t.read(spark).join(old, "vec_id", "left_anti")
+                    t.overwrite_all(keep, dict(stamp))
+            return out
+        finally:
+            old.unpersist()

@@ -9,6 +9,15 @@ uses. Writes one JSON line.
 
 Usage: python scripts/pipeline_dedup_bench.py [n_events] [n_epochs]
 (defaults 500000 x 4, local[$SPARK_GRAFT_CPUS or 32], tmpfs).
+
+Sweep mode (VERDICT r6 #3 — fixed-cost amortization): pass a comma
+list of epoch COUNTS as the second argument (e.g. ``2000000 16,4,1``)
+to replay the same generated log at several epoch sizes and print one
+JSON line per size. The per-epoch fixed cost of the composed stage
+(story metadata, banding job setup, store commits) amortizes with
+epoch size, so the overhead factor must fall monotonically as epochs
+get larger — the same mechanism already proven for bare replay in the
+8->32 scaling pair.
 """
 
 from __future__ import annotations
@@ -35,7 +44,7 @@ from getl_spark.session import get_spark  # noqa: E402
 
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
-    n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    epoch_counts = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4").split(",")]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tmp = tempfile.mkdtemp(
         prefix="getl_pdbench_",
@@ -43,7 +52,6 @@ def main():
     )
     spark = get_spark("pipeline-dedup-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    epoch_size = (n_events + n_epochs - 1) // n_epochs
     try:
         log = os.path.join(tmp, "log")
         ev = generate_change_events(
@@ -52,7 +60,7 @@ def main():
         )
         write_event_log(ev, log)
 
-        def run(with_store: bool, trial: int) -> tuple[float, dict]:
+        def run(with_store: bool, trial: int, epoch_size: int) -> tuple[float, dict]:
             wh = os.path.join(tmp, f"wh_{with_store}_{trial}")
             store = (
                 DedupStore(os.path.join(wh, "_store"), num_hashes=32,
@@ -73,27 +81,31 @@ def main():
             shutil.rmtree(wh, ignore_errors=True)
             return sec, info
 
-        base = min(run(False, t)[0] for t in range(2))
-        sec1, info1 = run(True, 0)
-        sec2, info2 = run(True, 1)
-        withd, info = (sec1, info1) if sec1 < sec2 else (sec2, info2)
-        print(
-            json.dumps(
-                {
-                    "metric": "cdc_dedup_composition_overhead",
-                    "events": n_events,
-                    "epochs": n_epochs,
-                    "replay_sec_bare": round(base, 2),
-                    "replay_sec_with_dedup": round(withd, 2),
-                    "overhead_factor": round(withd / base, 3),
-                    "eps_bare": round(n_events / base, 1),
-                    "eps_with_dedup": round(n_events / withd, 1),
-                    "docs_indexed": info.get("corpus"),
-                    "docs_rejected": info.get("rejects"),
-                    "unit": "sec",
-                }
+        for n_epochs in epoch_counts:
+            epoch_size = (n_events + n_epochs - 1) // n_epochs
+            base = min(run(False, t, epoch_size)[0] for t in range(2))
+            sec1, info1 = run(True, 0, epoch_size)
+            sec2, info2 = run(True, 1, epoch_size)
+            withd, info = (sec1, info1) if sec1 < sec2 else (sec2, info2)
+            print(
+                json.dumps(
+                    {
+                        "metric": "cdc_dedup_composition_overhead",
+                        "events": n_events,
+                        "epochs": n_epochs,
+                        "epoch_size": epoch_size,
+                        "replay_sec_bare": round(base, 2),
+                        "replay_sec_with_dedup": round(withd, 2),
+                        "overhead_factor": round(withd / base, 3),
+                        "eps_bare": round(n_events / base, 1),
+                        "eps_with_dedup": round(n_events / withd, 1),
+                        "docs_indexed": info.get("corpus"),
+                        "docs_rejected": info.get("rejects"),
+                        "unit": "sec",
+                    }
+                ),
+                flush=True,
             )
-        )
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)

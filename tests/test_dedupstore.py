@@ -739,3 +739,39 @@ def test_heal_reads_are_pruned(spark, tmp_path):
     st = store2.last_batch_stats
     assert st["heal"] is True
     assert 0 < st["winnow_heal_files_read"] < st["winnow_heal_files_total"], st
+
+
+def test_emb_prune_dropped_keeps_verdicts_and_replay_noop(spark, tmp_path):
+    """EmbDedupStore.prune_dropped mirrors the text store: dropped
+    vectors' bucket rows + vectors reclaimed, verdict rows kept, and a
+    replay of a committed batch containing pruned ids is still the
+    story no-op (the membership probe accepts verdict rows)."""
+    from getl_spark.dedupstore import EmbDedupStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    params = dict(dim=64, threshold=0.3, n_bits=6, n_tables=4, seed=99,
+                  max_bucket=None)
+    store = EmbDedupStore(str(tmp_path / "wh"), **params)
+    store.add_batch(spark, emb.filter("vec_id <= 200")).count()
+    store.add_batch(spark, emb.filter("vec_id > 200")).count()
+    n_rej = store.rejects.count_rows()
+    assert n_rej > 0, "threshold 0.3 must reject near-dups in testdata"
+    dropped_low = [
+        r.vec_id for r in store.rejects.read(spark).filter("vec_id <= 200").collect()
+    ]
+    assert dropped_low, "need at least one dropped vec below the horizon"
+
+    res = store.prune_dropped(spark, before_vec_id=201)
+    assert res["pruned_vecs"] == len(dropped_low)
+    ids = ", ".join(str(i) for i in dropped_low)
+    assert store.vectors.read(spark).filter(f"vec_id IN ({ids})").count() == 0
+    assert store.buckets.read(spark).filter(f"vec_id IN ({ids})").count() == 0
+    # verdicts survive
+    assert store.rejects.count_rows() == n_rej
+
+    # replay of the batch containing pruned ids: story no-op, no error
+    again = store.add_batch(spark, emb.filter("vec_id <= 200"))
+    assert again.count() == 0
+    assert store.last_batch_stats["story_path"] == "watermark-replay-noop"
