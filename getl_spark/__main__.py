@@ -274,6 +274,12 @@ def main(argv=None):
     edd.add_argument("--allow-unordered", action="store_true")
     edd.add_argument("--compact", action="store_true")
     edd.add_argument("--expire-keep-last", type=int, default=None, metavar="N")
+    edd.add_argument(
+        "--prune-dropped-below", type=int, default=None, metavar="VEC_ID",
+        help="retention: reclaim bucket rows + vectors of DROPPED vecs with "
+        "id < VEC_ID (verdict rows are kept; see EmbDedupStore.prune_dropped "
+        "for the documented one-sided equality trade)",
+    )
     edd.add_argument("--remove-orphans-older-than", type=float, default=None,
                      metavar="SECONDS")
     edd.add_argument("--config", action="append", default=[], help=config_help)
@@ -567,12 +573,13 @@ def main(argv=None):
         maintenance = (
             args.compact
             or args.expire_keep_last is not None
+            or args.prune_dropped_below is not None
             or args.remove_orphans_older_than is not None
         )
         if args.vectors is None and not maintenance:
             p.error("embdedup: --vectors is required unless running "
                     "maintenance (--compact/--expire-keep-last/"
-                    "--remove-orphans-older-than)")
+                    "--prune-dropped-below/--remove-orphans-older-than)")
         t0 = time.monotonic()
         if args.vectors is None:
             store = EmbDedupStore.open(wh)
@@ -605,6 +612,8 @@ def main(argv=None):
             out["compacted"] = store.compact(spark)
         if args.expire_keep_last is not None:
             out["expired"] = store.expire(args.expire_keep_last)
+        if args.prune_dropped_below is not None:
+            out["pruned"] = store.prune_dropped(spark, args.prune_dropped_below)
         if args.remove_orphans_older_than is not None:
             out["orphans_removed"] = store.remove_orphans(
                 args.remove_orphans_older_than

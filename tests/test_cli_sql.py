@@ -271,3 +271,11 @@ def test_cli_embdedup_ingest_and_maintenance(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "compacted" in out and out["corpus_size"] == n1
+
+    # retention: reclaim dropped vecs' state, verdicts kept (parity
+    # with the text store's --prune-dropped-below)
+    rc = main(["embdedup", "--warehouse", wh, "--prune-dropped-below", "151"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "pruned" in out
+    assert out["corpus_size"] == n1 - out["pruned"]["pruned_vecs"]
