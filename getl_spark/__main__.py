@@ -549,6 +549,15 @@ def main(argv=None):
             else:
                 n_kept = kept.count()
             out.update(batch_rows=n_in, kept=n_kept, dropped=n_in - n_kept)
+            # a committed-batch replay is a story no-op (kept=0 by
+            # contract; the original verdicts live in the store and are
+            # recoverable via rejected_of) — surface the story path so
+            # that reading of kept=0 is self-explanatory
+            stats = store.last_batch_stats or {}
+            if "story_path" in stats:
+                out["story_path"] = stats["story_path"]
+            if stats.get("healed_tails"):
+                out["healed_tails"] = stats["healed_tails"]
         if args.prune_dropped_below is not None:
             # prune BEFORE compaction so the rewrite also folds files
             out["pruned"] = store.prune_dropped(spark, args.prune_dropped_below)
@@ -608,6 +617,12 @@ def main(argv=None):
             else:
                 n_kept = kept.count()
             out.update(batch_rows=n_in, kept=n_kept, dropped=n_in - n_kept)
+            # same replay affordance as the text dedup subcommand
+            stats = store.last_batch_stats or {}
+            if "story_path" in stats:
+                out["story_path"] = stats["story_path"]
+            if stats.get("healed_tails"):
+                out["healed_tails"] = stats["healed_tails"]
         if args.compact:
             out["compacted"] = store.compact(spark)
         if args.expire_keep_last is not None:

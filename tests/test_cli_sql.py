@@ -265,6 +265,9 @@ def test_cli_embdedup_ingest_and_maintenance(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["kept"] == 0 and out["corpus_size"] == n1
+    # the replay's kept=0 is the story no-op contract, not 150 dropped
+    # dups — the CLI labels it so the output is self-explanatory
+    assert out["story_path"] in ("anti-join", "watermark-replay-noop")
 
     rc = main(["embdedup", "--warehouse", wh, "--compact",
                "--expire-keep-last", "8"])

@@ -109,8 +109,10 @@ def test_dedup_cli_two_batches(spark, corpus, tmp_path):
 
     r1 = run(b1, str(tmp_path / "out1"))
     assert (r1["batch_rows"], r1["kept"], r1["corpus_size"]) == (4, 3, 4)
+    assert r1["story_path"] == "first-batch"
     r2 = run(b2, str(tmp_path / "out2"))
     assert r2["batch_rows"] == 3 and r2["corpus_size"] == 7
+    assert r2["story_path"] == "watermark"
     kept2 = {
         r.doc_id for r in spark.read.parquet(str(tmp_path / "out2")).collect()
     }
