@@ -18,6 +18,13 @@ JSON line per size. The per-epoch fixed cost of the composed stage
 epoch size, so the overhead factor must fall monotonically as epochs
 get larger — the same mechanism already proven for bare replay in the
 8->32 scaling pair.
+
+``--emb``: compose an :class:`EmbDedupStore` instead of the text
+store. The event log gains a deterministic 16-dim embedding derived
+JVM-side from the content (xxhash64 per dimension, identical content
+=> identical vector, cosine 1.0) BEFORE it is written, so the bare
+and composed runs read byte-identical input and the overhead isolates
+the store stage, not column derivation.
 """
 
 from __future__ import annotations
@@ -32,7 +39,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from getl_spark.dedupstore import DedupStore  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from getl_spark.dedupstore import DedupStore, EmbDedupStore  # noqa: E402
 from getl_spark.events import (  # noqa: E402
     generate_change_events,
     read_event_log,
@@ -42,9 +51,14 @@ from getl_spark.pipeline import CDCPipeline  # noqa: E402
 from getl_spark.session import get_spark  # noqa: E402
 
 
+EMB_DIM = 16
+
+
 def main():
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
-    epoch_counts = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4").split(",")]
+    argv = [a for a in sys.argv[1:] if a != "--emb"]
+    emb = "--emb" in sys.argv[1:]
+    n_events = int(argv[0]) if len(argv) > 0 else 500_000
+    epoch_counts = [int(x) for x in (argv[1] if len(argv) > 1 else "4").split(",")]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tmp = tempfile.mkdtemp(
         prefix="getl_pdbench_",
@@ -58,16 +72,31 @@ def main():
             spark, n_events, n_keys=max(n_events // 20, 1000),
             n_repos=max(n_events // 1000, 8), seed=42, partitions=cpus * 2,
         )
+        if emb:
+            # identical content => identical vector (cosine 1.0); the
+            # column rides in the LOG so both runs read the same bytes
+            ev = ev.withColumn(
+                "embedding",
+                F.array(*[
+                    (F.pmod(F.xxhash64("content", F.lit(i)), F.lit(1000))
+                     / 500.0 - 1.0)
+                    for i in range(EMB_DIM)
+                ]),
+            )
         write_event_log(ev, log)
 
         def run(with_store: bool, trial: int, epoch_size: int) -> tuple[float, dict]:
             wh = os.path.join(tmp, f"wh_{with_store}_{trial}")
-            store = (
-                DedupStore(os.path.join(wh, "_store"), num_hashes=32,
-                           bands=16, threshold=0.7, max_bucket=200)
-                if with_store
-                else None
-            )
+            if not with_store:
+                store = None
+            elif emb:
+                store = EmbDedupStore(
+                    os.path.join(wh, "_store"), dim=EMB_DIM, threshold=0.999,
+                    n_bits=12, n_tables=4, max_bucket=1000,
+                )
+            else:
+                store = DedupStore(os.path.join(wh, "_store"), num_hashes=32,
+                                   bands=16, threshold=0.7, max_bucket=200)
             pipe = CDCPipeline(
                 spark, wh, num_buckets=32, write_salt=2, dedup_store=store
             )
@@ -91,6 +120,7 @@ def main():
                 json.dumps(
                     {
                         "metric": "cdc_dedup_composition_overhead",
+                        "mode": "embedding" if emb else "text",
                         "events": n_events,
                         "epochs": n_epochs,
                         "epoch_size": epoch_size,
