@@ -83,6 +83,18 @@ def _resolve_input(spark, value, reg, reader):
     return reader(value)
 
 
+def _surface_batch_stats(out, store):
+    """Label a dedup-CLI ingest with the store's story path: a
+    committed-batch replay returns kept=0 by the story no-op contract
+    (the original verdicts stay recoverable via rejected_of), which
+    would otherwise read as 'everything was a duplicate'."""
+    stats = store.last_batch_stats or {}
+    if "story_path" in stats:
+        out["story_path"] = stats["story_path"]
+    if stats.get("healed_tails"):
+        out["healed_tails"] = stats["healed_tails"]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="getl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -357,6 +369,18 @@ def main(argv=None):
             swh = _resolve_warehouse(args.embdedup_store, reg)
             try:
                 store = EmbDedupStore.open(swh)
+                # an existing store reopens under its STORED config —
+                # fail loudly if an explicit --embdedup-dim contradicts
+                # it (the embdedup subcommand raises the same way)
+                if (
+                    args.embdedup_dim
+                    and int(store.cfg["dim"]) != args.embdedup_dim
+                ):
+                    p.error(
+                        f"--embdedup-dim {args.embdedup_dim} does not match "
+                        f"the existing store's dim "
+                        f"{int(store.cfg['dim'])} at {swh}"
+                    )
             except ValueError:
                 if not args.embdedup_dim:
                     p.error(
@@ -549,15 +573,7 @@ def main(argv=None):
             else:
                 n_kept = kept.count()
             out.update(batch_rows=n_in, kept=n_kept, dropped=n_in - n_kept)
-            # a committed-batch replay is a story no-op (kept=0 by
-            # contract; the original verdicts live in the store and are
-            # recoverable via rejected_of) — surface the story path so
-            # that reading of kept=0 is self-explanatory
-            stats = store.last_batch_stats or {}
-            if "story_path" in stats:
-                out["story_path"] = stats["story_path"]
-            if stats.get("healed_tails"):
-                out["healed_tails"] = stats["healed_tails"]
+            _surface_batch_stats(out, store)
         if args.prune_dropped_below is not None:
             # prune BEFORE compaction so the rewrite also folds files
             out["pruned"] = store.prune_dropped(spark, args.prune_dropped_below)
@@ -617,18 +633,15 @@ def main(argv=None):
             else:
                 n_kept = kept.count()
             out.update(batch_rows=n_in, kept=n_kept, dropped=n_in - n_kept)
-            # same replay affordance as the text dedup subcommand
-            stats = store.last_batch_stats or {}
-            if "story_path" in stats:
-                out["story_path"] = stats["story_path"]
-            if stats.get("healed_tails"):
-                out["healed_tails"] = stats["healed_tails"]
+            _surface_batch_stats(out, store)
+        if args.prune_dropped_below is not None:
+            # prune BEFORE compaction so the rewrite also folds files
+            # (same order as the dedup subcommand)
+            out["pruned"] = store.prune_dropped(spark, args.prune_dropped_below)
         if args.compact:
             out["compacted"] = store.compact(spark)
         if args.expire_keep_last is not None:
             out["expired"] = store.expire(args.expire_keep_last)
-        if args.prune_dropped_below is not None:
-            out["pruned"] = store.prune_dropped(spark, args.prune_dropped_below)
         if args.remove_orphans_older_than is not None:
             out["orphans_removed"] = store.remove_orphans(
                 args.remove_orphans_older_than

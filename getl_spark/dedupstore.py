@@ -248,13 +248,68 @@ def _healed_tokens(tails: list[dict], lo: int, hi: int) -> list[str]:
     tail stays pending (safe: its ranges keep being reprocessable)."""
     out = []
     for t in tails:
+        # a legacy (round-6, unstamped) first-batch tail has lo=None —
+        # its true lower edge is unknowable from metadata, so require
+        # the batch to at least START at or below the tail's hi: a
+        # disjoint higher batch (lo > hi) reprocesses none of the
+        # tail's ids and must not claim it healed (the whole-batch
+        # replay contract makes lo <= hi the honest metadata proxy)
         ok = all(
-            h is not None and int(h) <= hi and (l is None or lo <= int(l))
+            h is not None
+            and int(h) <= hi
+            and (lo <= int(l) if l is not None else lo <= int(h))
             for l, h in t["ranges"]
         )
         if ok:
             out.append(t["batch"])
     return out
+
+
+def _committed_ranges(done, key: str) -> list[list[int | None]]:
+    """``[lo, hi]`` id spans the ``done`` table's data summaries claim
+    as committed — stamped ``id_ranges`` where present, else inferred
+    as ``(prev_hi, hi]`` like :func:`_pending_tails`. Pure metadata;
+    used to stamp exact-gap ranges on the non-monotonic path."""
+    out, prev_hi = [], None
+    for s in _data_summaries(done):
+        hi = s.get(key)
+        ranges = s.get("id_ranges")
+        if ranges is None and hi is not None:
+            lo = None if prev_hi is None else prev_hi + 1
+            ranges = [[lo, int(hi)]]
+        if hi is not None:
+            hi = int(hi)
+            prev_hi = hi if prev_hi is None else max(prev_hi, hi)
+        out.extend(ranges or [])
+    return out
+
+
+def _subtract_ranges(lo: int, hi: int, committed: list) -> list[list[int]]:
+    """``[lo, hi]`` minus the committed spans — the exact id gaps a
+    non-monotonic batch's surviving (anti-joined) rows can occupy.
+    Stamping these instead of the raw hull keeps the ``id_ranges``
+    contract (``ranges never claim committed ids``) on the
+    require_monotonic=False path: a crash there must not leave a tail
+    whose reprocess carve-out swallows other batches' committed ids."""
+    spans = [[int(lo), int(hi)]]
+    for cl, ch in committed:
+        if ch is None:
+            continue
+        ch = int(ch)
+        cl = int(cl) if cl is not None else None
+        nxt = []
+        for sl, sh in spans:
+            if ch < sl or (cl is not None and cl > sh):
+                nxt.append([sl, sh])
+                continue
+            if cl is not None and cl > sl:
+                nxt.append([sl, min(sh, cl - 1)])
+            if ch < sh:
+                nxt.append([ch + 1, sh])
+        spans = nxt
+        if not spans:
+            break
+    return sorted(spans)
 
 
 def _effective_ranges(
@@ -527,7 +582,8 @@ class DedupStore:
                 # range — story no-op (d is already filtered empty)
                 stats["story_path"] = "watermark-replay-noop"
                 return d
-        elif have_index:
+        anti_span = None
+        if have_index and not fast:
             # legacy / non-monotonic path: true membership anti-join,
             # range-pruned to the batch's id span (equality join — ids
             # outside [lo, hi] can't match; still a scan of the index
@@ -541,11 +597,13 @@ class DedupStore:
                 .withColumnRenamed("doc_id", "_did")
             )
             d = d.withColumn("_did", did).join(indexed_ids, "_did", "left_anti").drop("_did")
+            row = d.agg(F.min(did).alias("lo"), F.max(did).alias("hi")).collect()[0]
+            anti_span = (row["lo"], row["hi"])
             if require_monotonic:
                 hi = hi_index
                 if not modern:
                     hi = self.index.read(spark).agg(F.max("doc_id")).collect()[0][0]
-                lo = d.agg(F.min(did)).collect()[0][0]
+                lo = anti_span[0]
                 if lo is not None and hi is not None and lo <= hi:
                     raise ValueError(
                         f"add_batch: new ids must exceed all stored ids for the "
@@ -553,12 +611,27 @@ class DedupStore:
                         f"stored max {hi}); pass require_monotonic=False to "
                         "override"
                     )
-        else:
+        elif not have_index:
             stats["story_path"] = "first-batch"
 
         batch_tok = uuid.uuid4().hex[:12]
         clipped = fast and hi_index is not None and lo_raw <= hi_index
-        eff = _effective_ranges(clipped, lo_raw, hi_raw, hi_index, tails)
+        if anti_span is not None:
+            # exact-gap stamp: the anti-join already removed committed
+            # ids, but the SURVIVORS' hull may still straddle other
+            # batches' committed spans (an unordered batch can wrap
+            # around them) — subtract the done table's committed ranges
+            # so a crash here never leaves a tail claiming them
+            eff = (
+                []
+                if anti_span[0] is None
+                else _subtract_ranges(
+                    anti_span[0], anti_span[1],
+                    _committed_ranges(self.index, "max_doc_id"),
+                )
+            )
+        else:
+            eff = _effective_ranges(clipped, lo_raw, hi_raw, hi_index, tails)
         # heal anti-joins below filter to [batch_lo, batch_hi] — must
         # cover reprocessed tail ids, which sit below the watermark
         batch_lo = min((r[0] for r in eff), default=lo_raw)
@@ -631,12 +704,26 @@ class DedupStore:
                 .persist()
             )
             have_fp = self.winnow_index.count_rows() > 0
+            wheal = (
+                bool(_pending_tails(self.winnow_index, self.index, "max_doc_id"))
+                if modern
+                else have_fp
+            )
             if have_fp:
                 fp_keys = new_fp.select("h").distinct()
                 sbw = _storage_buckets(fp_keys, self.winnow_index)
                 stored_fp = self.winnow_index.read(spark, buckets=sbw).join(
                     F.broadcast(fp_keys), ["h"], "left_semi"
                 )
+                if wheal:
+                    # healing replay: the tail's winnow rows are
+                    # committed here AND recomputed in new_fp — drop
+                    # the stored copies so the per-bucket cap and the
+                    # _shared >= min_shared gate count each (doc, h)
+                    # row once, matching the clean run
+                    stored_fp = stored_fp.join(
+                        F.broadcast(new_ids), "doc_id", "left_anti"
+                    )
                 all_fp = stored_fp.unionByName(new_fp)
             else:
                 all_fp = new_fp
@@ -720,8 +807,8 @@ class DedupStore:
         self.docs.append(texts_to_add, dict(stamp))
         if new_fp is not None:
             fp_to_add = new_fp
-            wheal = bool(_pending_tails(self.winnow_index, self.index, "max_doc_id")) \
-                if modern else self.winnow_index.count_rows() > 0
+            # wheal computed once above, where the candidate join
+            # de-duplicated the stored side with the same condition
             if wheal:
                 # the winnow table buckets by h (content key), not
                 # doc_id — but a replayed crashed batch re-fingerprints
@@ -1038,6 +1125,7 @@ class EmbDedupStore:
         d = vectors
         tails = _pending_tails(self.buckets, self.vectors, "max_vec_id") if modern else []
         reproc = _reprocess_cond(tails, vid)
+        anti_span = None
         if have_vecs and fast:
             stats["story_path"] = "watermark"
             if hi_vec is not None and lo_raw <= hi_vec:
@@ -1089,11 +1177,13 @@ class EmbDedupStore:
                 .withColumnRenamed("vec_id", "_vid")
             )
             d = d.withColumn("_vid", vid).join(stored_ids, "_vid", "left_anti").drop("_vid")
+            row = d.agg(F.min(vid).alias("lo"), F.max(vid).alias("hi")).collect()[0]
+            anti_span = (row["lo"], row["hi"])
             if require_monotonic:
                 hi = hi_vec
                 if not modern:
                     hi = self.vectors.read(spark).agg(F.max("vec_id")).collect()[0][0]
-                lo = d.agg(F.min(vid)).collect()[0][0]
+                lo = anti_span[0]
                 if lo is not None and hi is not None and lo <= hi:
                     raise ValueError(
                         f"add_batch: new ids must exceed all stored ids (new min "
@@ -1105,7 +1195,20 @@ class EmbDedupStore:
 
         batch_tok = uuid.uuid4().hex[:12]
         clipped = fast and hi_vec is not None and lo_raw <= hi_vec
-        eff = _effective_ranges(clipped, lo_raw, hi_raw, hi_vec, tails)
+        if anti_span is not None:
+            # exact-gap stamp (see DedupStore.add_batch): the survivors'
+            # hull may straddle committed spans on the non-monotonic
+            # path — never stamp ranges that claim committed ids
+            eff = (
+                []
+                if anti_span[0] is None
+                else _subtract_ranges(
+                    anti_span[0], anti_span[1],
+                    _committed_ranges(self.vectors, "max_vec_id"),
+                )
+            )
+        else:
+            eff = _effective_ranges(clipped, lo_raw, hi_raw, hi_vec, tails)
         batch_lo = min((r[0] for r in eff), default=lo_raw)
         batch_hi = hi_raw
         stamp = {
@@ -1138,6 +1241,15 @@ class EmbDedupStore:
                 F.broadcast(new_keys), ["tbl", "bucket"], "left_semi"
             )
             stats["stored_semi_plan"] = _plan_string(stored_touched)
+            if tails or not modern:
+                # healing replay: a crashed tail's bucket rows are
+                # committed here AND recomputed in new_b — drop the
+                # stored copies so _cap_buckets counts each row once
+                # (double-counting can push a bucket over max_bucket
+                # and diverge the kept set from the clean run's)
+                stored_touched = stored_touched.join(
+                    F.broadcast(new_ids), "vec_id", "left_anti"
+                )
             all_b = stored_touched.unionByName(new_b)
         else:
             all_b = new_b

@@ -777,3 +777,129 @@ def test_emb_prune_dropped_keeps_verdicts_and_replay_noop(spark, tmp_path):
     again = store.add_batch(spark, emb.filter("vec_id <= 200"))
     assert again.count() == 0
     assert store.last_batch_stats["story_path"] == "watermark-replay-noop"
+
+
+def test_legacy_tail_not_healed_by_disjoint_batch(spark, corpus, tmp_path):
+    """A round-6 (unstamped-ranges) first-batch tail has an unknowable
+    lower edge (lo=None). A DISJOINT higher batch reprocesses none of
+    its ids and must NOT claim it healed — otherwise the tail's later
+    replay passes the docs membership probe, no-ops, and its band rows
+    + verdicts are silently lost forever."""
+    wh = str(tmp_path / "wh")
+    store = DedupStore(wh, **PARAMS)
+    b1 = corpus.filter("doc_id < 100")
+    # simulate the round-6 crashed state: docs committed with a batch
+    # token + watermark but NO id_ranges stamp, index still empty
+    store.docs.append(
+        b1.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"),
+        {"op": "add_batch", "batch": "r6tail", "max_doc_id": 4},
+    )
+
+    # a disjoint higher batch commits fully: it reprocessed none of the
+    # tail's ids, so it must not stamp the tail healed
+    store_b = DedupStore(wh, **PARAMS)
+    store_b.add_batch(spark, corpus.filter("doc_id >= 100 AND doc_id < 200")).count()
+    assert not store_b.last_batch_stats.get("healed_tails")
+
+    # replaying batch 1 must REPROCESS it (not watermark-replay-noop)
+    store_c = DedupStore(wh, **PARAMS)
+    kept = _ids(store_c.add_batch(spark, b1))
+    assert kept == [1, 3, 4], kept  # 2 near-dups 1, same as a clean run
+    assert store_c.last_batch_stats.get("healed_tails") == ["r6tail"]
+    docs_df = store_c.docs.read(spark)
+    assert docs_df.count() == docs_df.select("doc_id").distinct().count()
+    rej = store_c.rejected_of(
+        spark, spark.createDataFrame([(2,)], "doc_id bigint")
+    )
+    assert [(r.doc_id, r.dup_of) for r in rej.collect()] == [(2, 1)]
+
+
+def test_unordered_crash_tail_never_claims_committed_ids(spark, corpus, tmp_path):
+    """require_monotonic=False: the surviving (anti-joined) ids' hull
+    can straddle OTHER batches' committed spans. A crash must leave a
+    tail whose stamped ranges claim only the gaps — otherwise replays
+    of the committed batches inside the hull are carved out as
+    'reprocessable' and their band rows are re-appended, breaking the
+    per-bucket cap's exactness with duplicate index rows."""
+    from getl_spark.dedupstore import _pending_tails
+
+    wh = str(tmp_path / "wh")
+    store = DedupStore(wh, **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100")).count()  # X: 1-4
+    batch_y = corpus.filter("doc_id >= 200")  # Y: 201-202
+    store.add_batch(spark, batch_y).count()
+
+    # unordered batch whose hull [101, 301] straddles Y's span
+    extra = corpus.filter("doc_id >= 100 AND doc_id < 200").unionByName(
+        spark.createDataFrame(
+            [(301, "a brand new document far above the committed watermark")],
+            "doc_id bigint, text string",
+        )
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the index commit")
+
+    store2 = DedupStore(wh, **PARAMS)
+    store2.index.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store2.add_batch(spark, extra, require_monotonic=False)
+
+    # the tail's stamped ranges exclude Y's committed ids
+    store3 = DedupStore(wh, **PARAMS)
+    tails = _pending_tails(store3.docs, store3.index, "max_doc_id")
+    assert len(tails) == 1, tails
+    for lo, hi in tails[0]["ranges"]:
+        assert not (lo <= 201 <= hi or lo <= 202 <= hi), tails
+
+    # replaying committed Y is still the story no-op, with no duplicate
+    # band rows re-appended
+    assert store3.add_batch(spark, batch_y).count() == 0
+    assert store3.last_batch_stats["story_path"] == "watermark-replay-noop"
+    idx = store3.index.read(spark).filter("doc_id IN (201, 202)")
+    assert idx.count() > 0 and idx.count() == idx.distinct().count()
+
+    # and replaying the unordered batch itself heals the tail
+    store4 = DedupStore(wh, **PARAMS)
+    store4.add_batch(spark, extra, require_monotonic=False).count()
+    assert store4.last_batch_stats.get("healed_tails") == [
+        tails[0]["batch"]
+    ]
+    docs_df = store4.docs.read(spark)
+    assert docs_df.count() == docs_df.select("doc_id").distinct().count()
+
+
+def test_emb_healing_replay_cap_not_double_counted(spark, tmp_path):
+    """A healing replay sees the crashed tail's bucket rows BOTH in the
+    stored index and recomputed from the batch. If both copies reach
+    _cap_buckets the bucket size doubles, can cross max_bucket, and the
+    replay's kept set diverges from the clean run's."""
+    from getl_spark.dedupstore import EmbDedupStore
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    params = dict(dim=4, threshold=0.95, n_bits=4, n_tables=1, seed=7,
+                  max_bucket=4)
+
+    clean = EmbDedupStore(str(tmp_path / "clean"), **params)
+    kept_clean = sorted(r.vec_id for r in clean.add_batch(spark, vecs).collect())
+    assert kept_clean == [1]  # 2, 3, 4 are exact dups of 1
+
+    wh = str(tmp_path / "wh")
+    store = EmbDedupStore(wh, **params)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the vectors commit")
+
+    store.vectors.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.add_batch(spark, vecs)
+
+    store2 = EmbDedupStore(wh, **params)
+    kept_replay = sorted(r.vec_id for r in store2.add_batch(spark, vecs).collect())
+    assert kept_replay == kept_clean, (
+        "healing replay must match the clean run: the tail's stored "
+        "bucket rows must not double the per-bucket counts"
+    )
