@@ -146,25 +146,55 @@ def generate_change_events(
         "commit",
         F.when(F.col("_is_dup"), F.col("_prev_real_commit")).otherwise(F.col("_commit_base")),
     )
-    df = df.withColumn(
-        "content",
-        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(
+    # Restore the seq-range layout BEFORE synthesizing content: the
+    # range exchange's sampling pass re-executes its child plan, and
+    # the exchange itself moves every byte of its input — doing both
+    # over the slim op-machine rows instead of the ~1 KB content
+    # strings means the heavy payload is generated exactly once, above
+    # the exchange (guide §2.3: shuffle metadata, not payloads). The
+    # marker attribute lets write_event_log skip its own (second)
+    # range repartition for frames that already carry this layout.
+    slim = df.select("seq", "op", "repo", "path", "commit", "lang")
+    slim = (
+        slim.repartitionByRange(partitions, "seq")
+        if partitions
+        else slim.repartitionByRange("seq")
+    )
+    out = slim.select(
+        "seq",
+        "op",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(
             content_expr(F.col("repo"), F.col("path"), F.col("commit"), content_min, content_max)
-        ),
-    ).withColumn("event_ts", F.timestamp_seconds(F.lit(_TS_BASE) + F.col("seq")))
-    return df.select("seq", "op", "repo", "path", "commit", "lang", "content", "event_ts")
+        )
+        .alias("content"),
+        F.timestamp_seconds(F.lit(_TS_BASE) + F.col("seq")).alias("event_ts"),
+    )
+    out._getl_range_by_seq = True
+    return out
 
 
 def write_event_log(df: DataFrame, path: str, partitions: int | None = None) -> None:
     """Persist the event log as parquet range-partitioned by ``seq``:
     each file holds one seq range, so epoch slices (`seq > lo AND seq
     <= hi`) prune whole files via parquet min/max stats instead of
-    rescanning the full log every epoch."""
-    out = (
-        df.repartitionByRange(partitions, "seq")
-        if partitions
-        else df.repartitionByRange("seq")
-    )
+    rescanning the full log every epoch.
+
+    Frames produced by :func:`generate_change_events` already carry
+    the seq-range layout (marked via ``_getl_range_by_seq``); for
+    those the extra exchange — whose sampling pass would re-execute
+    the whole generator including content synthesis — is skipped
+    unless an explicit ``partitions`` override asks for a re-layout."""
+    if partitions:
+        out = df.repartitionByRange(partitions, "seq")
+    elif getattr(df, "_getl_range_by_seq", False):
+        out = df
+    else:
+        out = df.repartitionByRange("seq")
     out.write.mode("overwrite").parquet(path)
 
 

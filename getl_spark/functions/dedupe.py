@@ -134,8 +134,16 @@ def minhash_signatures_df(
     digest are separate columns of the SAME select, so codegen CSE
     computes each sha256 once.
     """
+    from getl_spark.partitioning import widen_small_scan
+
     sh = word_shingles(F.col(text_col), shingle_words)
-    ex = df.select(F.col(id_col), F.explode(sh).alias("_s"))
+    # the explode + per-shingle digests are the CPU cost of the whole
+    # LSH pipeline and run in the SCAN stage: a small single-file
+    # corpus would hash serially on one core (guide §2.5 input skew) —
+    # widen the slim (id, text) projection first; no-op at scale
+    ex = widen_small_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(sh).alias("_s")
+    )
     cols = []
     if hash_fn == "xxhash64":
         for i in range(num_hashes):
@@ -566,9 +574,12 @@ def simhash_signatures_df(
     is one whole-stage-codegen aggregate with map-side combine.
     Identical values to simhash64 (63-bit xxhash64) / simhash60
     (60-bit sha_hash60)."""
+    from getl_spark.partitioning import widen_small_scan
+
     n_bits = 60 if hash_fn == "sha256" else 63
     toks = F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("_t")
-    ex = df.select(F.col(id_col), toks)
+    # same scan-stage parallelism rationale as minhash_signatures_df
+    ex = widen_small_scan(df.select(id_col, text_col)).select(F.col(id_col), toks)
     h = sha_hash60(F.col("_t")) if hash_fn == "sha256" else F.xxhash64(F.col("_t"))
     ex = ex.select(id_col, h.alias("_h"))
     sums = ex.groupBy(id_col).agg(

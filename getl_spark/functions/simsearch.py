@@ -48,12 +48,18 @@ def cosine_topk(
     Physical plan: broadcast(queries) nested-loop — corpus scanned
     once, no shuffle until the tiny per-query top-k aggregation.
     """
+    from getl_spark.partitioning import widen_small_scan
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # the per-(query, corpus-row) cosine folds run in the corpus scan
+    # stage — widen a small single-file corpus so they parallelize
+    c = widen_small_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -144,9 +150,12 @@ def _bucketed(df: DataFrame, id_col: str, vec_col: str, out_id: str,
               dim: int, n_bits: int, n_tables: int, seed: int) -> DataFrame:
     """(out_id, tbl, bucket) rows — one UDF call per row, posexplode
     over the per-table bucket array."""
+    from getl_spark.partitioning import widen_small_scan
+
     planes = [int_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
     udf = _all_buckets_udf(planes)
-    return df.select(
+    # Arrow UDF batches are per-partition — widen a 1-split corpus scan
+    return widen_small_scan(df.select(id_col, vec_col)).select(
         F.col(id_col).alias(out_id), udf(F.col(vec_col)).alias("_bs")
     ).select(out_id, F.posexplode("_bs").alias("tbl", "bucket"))
 
@@ -226,18 +235,39 @@ def embedding_near_dups(
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        # the distinct exchange ALSO rebalances the candidate stream
+        # (pair counts per LSH bucket are quadratically skewed), so
+        # the verify stage below scores over uniform hash partitions —
+        # measured 5x faster than fusing verify into the skewed
+        # bucket-join stage (guide §2.5)
         .distinct()
     )
-    av = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    bv = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    # per-vector norms are computed ONCE per side (2N folds) instead of
+    # twice per pair — same FP op order as cosine(), scores bit-equal
+    av = corpus.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_norm"),
+    )
+    bv = corpus.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_norm"),
+    )
+    score = F.round(
+        dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 4
+    )
+    # guide §4.4, applied to a plain expression: the threshold filter
+    # would otherwise be pushed into the attach-join condition AND
+    # re-evaluated in the output project — the dot fold then runs
+    # TWICE per candidate pair (observed in the plan as two zip_with
+    # evals). The always-true nondeterministic guard pins the score to
+    # a single materialized evaluation; the value is unchanged.
+    score = F.when(F.rand(7) >= F.lit(-1.0), score)
     return (
         cand.join(av, "a_id")
         .join(bv, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("score"),
-        )
+        .select("a_id", "b_id", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
@@ -405,9 +435,11 @@ def ivf_topk(
         )
     else:
         cents = int_centroids(dim, n_centroids, seed)
+    from getl_spark.partitioning import widen_small_scan
+
     assign = _ivf_cells_udf(cents, 1)
     probe = _ivf_cells_udf(cents, n_probe)
-    cb = corpus.select(
+    cb = widen_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"), assign(F.col(vec_col))[0].alias("cell")
     )
     qb = F.broadcast(

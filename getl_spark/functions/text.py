@@ -147,9 +147,13 @@ def winnow(
     """
     if hash_fn not in ("xxhash64", "sha60"):
         raise ValueError("hash_fn must be 'xxhash64' or 'sha60'")
+    from getl_spark.partitioning import widen_small_scan
+
     norm = normalize_for_fingerprint(F.col(text_col))
     m = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    base = df.select(
+    # the per-character explode + k-gram hashing is scan-stage CPU —
+    # widen a small single-file corpus first (no-op at scale)
+    base = widen_small_scan(df.select(id_col, text_col)).select(
         id_col,
         norm.alias("_n"),
         m.alias("_m"),

@@ -43,6 +43,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
 
+class MergeValidationError(RuntimeError):
+    """A post-write invariant check failed; the merge was aborted
+    before commit (no snapshot was produced, fresh files removed)."""
+
+
 class MergeBuilder:
     def __init__(self, table, source: DataFrame):
         self.table = table
@@ -55,6 +60,7 @@ class MergeBuilder:
         self._epoch: int | None = None
         self._summary: dict = {}
         self._touched: list[int] | None = None
+        self._expected_src_rows: int | None = None
 
     def on(self, keys: list[str]) -> "MergeBuilder":
         self._keys = list(keys)
@@ -81,6 +87,17 @@ class MergeBuilder:
         a lineage aggregation over the same batch) — skip the
         discovery job."""
         self._touched = [int(b) for b in buckets]
+        return self
+
+    def expect_source_rows(self, n: int) -> "MergeBuilder":
+        """Post-write invariant: the merge must consume exactly ``n``
+        source rows, observed on the write action itself (zero extra
+        jobs — guide §1.2: don't add passes for checks a running pass
+        can carry). A mismatch aborts before commit with
+        :class:`MergeValidationError` so the caller can fall back to a
+        slower-but-safe plan. Used by CDCPipeline's broadcast LWW fast
+        path, whose precondition is one winner row per key."""
+        self._expected_src_rows = int(n)
         return self
 
     def with_summary(self, summary: dict) -> "MergeBuilder":
@@ -223,6 +240,7 @@ class MergeBuilder:
             F.sum(F.col("_del").cast("long")).alias("deleted"),
             F.sum(F.col("_upd").cast("long")).alias("updated"),
             F.sum(F.col("_ins").cast("long")).alias("inserted"),
+            F.sum(s_ex.cast("long")).alias("src_rows"),
         )
         result = flagged.filter((~F.col("_del")) & (F.col("_keep_t") | F.col("_ins"))).select(
             *out_cols
@@ -248,15 +266,33 @@ class MergeBuilder:
             summary["pipeline"] = self._pipeline
         from getl_spark.lake.table import CommitSkipped
 
+        validate = None
+        if self._expected_src_rows is not None:
+            expected = self._expected_src_rows
+
+            def validate(_new_files):
+                # the write action is complete here, so the observed
+                # metrics are available without any extra job
+                got = obs.get.get("src_rows")
+                got = int(got) if got is not None else 0
+                if got != expected:
+                    raise MergeValidationError(
+                        f"merge consumed {got} source rows, expected {expected}"
+                    )
+
         try:
             if touched is not None:
-                # overwrite_buckets deletes its fresh files on CommitSkipped
-                snap = t.overwrite_buckets(result, touched, summary, props, precondition=pre)
+                # overwrite_buckets deletes its fresh files on abort
+                snap = t.overwrite_buckets(
+                    result, touched, summary, props, precondition=pre, validate=validate
+                )
             else:
                 new = t._write_data_files(result.select(*tcols), "merge")
                 try:
+                    if validate is not None:
+                        validate(new)
                     snap = t._commit_snapshot("overwrite", new, summary, props, precondition=pre)
-                except CommitSkipped:
+                except Exception:
                     import os
 
                     for f in new:  # never became visible — don't leak orphans
@@ -270,5 +306,7 @@ class MergeBuilder:
                 "skipped": True,
                 "reason": f"epoch {self._epoch} committed concurrently",
             }
-        stats = obs.get
+        # src_rows is an internal validation metric, not part of the
+        # public stats contract
+        stats = {k: v for k, v in obs.get.items() if k != "src_rows"}
         return {"snapshot": snap, "stats": stats, "skipped": False, "touched_buckets": touched}

@@ -526,14 +526,22 @@ class LakeTable:
         summary: dict | None = None,
         properties_update: dict | None = None,
         precondition=None,
+        validate=None,
     ) -> dict:
+        """``validate(new_file_entries)`` (optional) runs AFTER the data
+        write but BEFORE the commit: raising aborts the commit and the
+        fresh files are removed — callers fold post-write invariant
+        checks (e.g. row-count expectations from parquet footers) into
+        the write action instead of paying a separate verification job."""
         new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
         try:
+            if validate is not None:
+                validate(new)
             files = self.current_files() + new
             s = {"added_files": len(new), "added_rows": sum(f["rows"] for f in new)}
             s.update(summary or {})
             return self._commit_snapshot("append", files, s, properties_update, precondition=precondition)
-        except CommitSkipped:
+        except Exception:
             for f in new:  # our files never became visible
                 try:
                     os.remove(os.path.join(self.location, f["path"]))
@@ -548,33 +556,41 @@ class LakeTable:
         summary: dict | None = None,
         properties_update: dict | None = None,
         precondition=None,
+        validate=None,
     ) -> dict:
         """Copy-on-write: replace all files in ``buckets`` with ``df``.
 
         Untouched buckets are carried forward by reference — this is
         the physical form of a bucket-pruned MERGE INTO.
+
+        ``validate(new_file_entries)`` (optional) runs AFTER the data
+        write but BEFORE the commit: raising aborts the commit and the
+        fresh files are removed — callers fold post-write invariant
+        checks into the write action instead of a separate job.
         """
         buckets = set(int(b) for b in buckets)
         new = self._write_data_files(df.select(*self.schema().fieldNames()), uuid.uuid4().hex[:8])
-        bad = [f for f in new if f["bucket"] not in buckets and f["bucket"] is not None]
-        if bad:
-            raise ValueError(f"overwrite produced rows outside declared buckets: {bad[:3]}")
-        kept = [f for f in self.current_files() if f["bucket"] not in buckets]
-        s = {
-            "replaced_buckets": sorted(buckets),
-            "added_files": len(new),
-            "added_rows": sum(f["rows"] for f in new),
-        }
-        s.update(summary or {})
         try:
+            if validate is not None:
+                validate(new)
+            bad = [f for f in new if f["bucket"] not in buckets and f["bucket"] is not None]
+            if bad:
+                raise ValueError(f"overwrite produced rows outside declared buckets: {bad[:3]}")
+            kept = [f for f in self.current_files() if f["bucket"] not in buckets]
+            s = {
+                "replaced_buckets": sorted(buckets),
+                "added_files": len(new),
+                "added_rows": sum(f["rows"] for f in new),
+            }
+            s.update(summary or {})
             return self._commit_snapshot(
                 "overwrite", kept + new, s, properties_update,
                 replaced_buckets=buckets, precondition=precondition,
             )
-        except CommitSkipped:
-            # mirror append(): our fresh files never became visible —
-            # delete them instead of leaving orphans for maintenance
-            # (kept files belong to prior snapshots and stay)
+        except Exception:
+            # our fresh files never became visible — delete them
+            # instead of leaving orphans for maintenance (kept files
+            # belong to prior snapshots and stay)
             for f in new:
                 try:
                     os.remove(os.path.join(self.location, f["path"]))

@@ -260,12 +260,28 @@ class CDCPipeline:
             # and the final state still converges to the oracle's LWW
             # reduction. A stale U after an applied D loses to the
             # tombstone's higher seq instead of resurrecting the row.
-            src = (
-                winners.withColumn("_epoch", F.lit(int(epoch)).cast("bigint"))
-                .withColumnRenamed("seq", "_seq")
-                .withColumn("_deleted", F.col("op") == "D")
-            )
-            src = self._align_source_columns(src)
+            def _build_src(w: DataFrame) -> DataFrame:
+                s = (
+                    w.withColumn("_epoch", F.lit(int(epoch)).cast("bigint"))
+                    .withColumnRenamed("seq", "_seq")
+                    .withColumn("_deleted", F.col("op") == "D")
+                )
+                return self._align_source_columns(s)
+
+            # broadcast fast-path invariant check deferred into the
+            # write action (see _select_winners); a violation falls
+            # back to the agg winner strategy for this epoch
+            expected_rows = getattr(self, "_deferred_winner_check", None)
+
+            def _agg_retry_src() -> DataFrame:
+                from getl_spark.dedup import lww_dedup as _lww
+
+                self.last_lww_strategy = "agg"
+                return _build_src(
+                    _lww(events, self.keys, "seq", "commit", strategy="agg")
+                )
+
+            src = _build_src(winners)
             if self.merge_mode == "mor":
                 # merge-on-read: append winner rows as delta files —
                 # O(epoch) write, no join against the target at all.
@@ -282,21 +298,24 @@ class CDCPipeline:
                     # breaks the parquet write), and after widen_column
                     # the delta file is recorded at the current
                     # schema_id so its physical types must match it.
-                    delta = src.select(
-                        *[
-                            (
-                                F.col(f.name) if f.name in src.columns else F.lit(None)
-                            )
-                            .cast(f.dataType)
-                            .alias(f.name)
-                            for f in self.target.schema().fields
-                        ]
-                    )
+                    def _delta_of(s: DataFrame) -> DataFrame:
+                        return s.select(
+                            *[
+                                (
+                                    F.col(f.name) if f.name in s.columns else F.lit(None)
+                                )
+                                .cast(f.dataType)
+                                .alias(f.name)
+                                for f in self.target.schema().fields
+                            ]
+                        )
+
                     # the precondition re-checks the watermark on every
                     # commit attempt: a concurrent same-name tailer
                     # that committed this epoch first must make OUR
                     # append a no-op, not a duplicate delta (append
                     # rebases blindly at the commit layer otherwise)
+                    from getl_spark.lake.merge import MergeValidationError
                     from getl_spark.lake.table import CommitSkipped
 
                     wm_key = f"watermark.{self.name}"
@@ -305,28 +324,67 @@ class CDCPipeline:
                         w = meta["properties"].get(_k)
                         return w is None or int(w) < _e
 
+                    _va = None
+                    if expected_rows is not None:
+                        # one winner row per key <=> delta row count ==
+                        # n_keys, read from the parquet footers of the
+                        # write that just ran — zero extra jobs
+                        def _va(new_files, _exp=int(expected_rows)):
+                            got = sum(int(f["rows"]) for f in new_files)
+                            if got != _exp:
+                                raise MergeValidationError(
+                                    f"delta carried {got} rows, expected {_exp}"
+                                )
+
+                    summary = {"engine": "getl_spark", "epoch": int(epoch), "pipeline": self.name, "mor_delta": True}
                     try:
-                        snap = self.target.append(
-                            delta,
-                            {"engine": "getl_spark", "epoch": int(epoch), "pipeline": self.name, "mor_delta": True},
-                            {wm_key: str(int(epoch))},
-                            precondition=_pre,
-                        )
+                        try:
+                            snap = self.target.append(
+                                _delta_of(src),
+                                summary,
+                                {wm_key: str(int(epoch))},
+                                precondition=_pre,
+                                validate=_va,
+                            )
+                        except MergeValidationError:
+                            # same-seq redelivery hit the winner set:
+                            # re-derive winners with the duplicate-
+                            # collapsing agg strategy and re-append
+                            snap = self.target.append(
+                                _delta_of(_agg_retry_src()),
+                                summary,
+                                {wm_key: str(int(epoch))},
+                                precondition=_pre,
+                            )
                         res = {"snapshot": snap, "stats": {}, "skipped": False}
                     except CommitSkipped:
                         res = {"skipped": True, "reason": f"epoch {epoch} committed concurrently"}
             else:
-                mb = (
-                    self.target.merge(src)
-                    .on(self.keys)
-                    .when_matched_update(condition="s._seq > t._seq")
-                    .when_not_matched_insert()
-                    .idempotency(self.name, epoch)
-                    .with_summary({"engine": "getl_spark"})
-                )
-                if spec.kind == "bucket":
-                    mb = mb.touched_buckets(touched)
-                res = mb.execute(self.spark)
+                from getl_spark.lake.merge import MergeValidationError
+
+                def _mb(s: DataFrame):
+                    b = (
+                        self.target.merge(s)
+                        .on(self.keys)
+                        .when_matched_update(condition="s._seq > t._seq")
+                        .when_not_matched_insert()
+                        .idempotency(self.name, epoch)
+                        .with_summary({"engine": "getl_spark"})
+                    )
+                    if spec.kind == "bucket":
+                        b = b.touched_buckets(touched)
+                    return b
+
+                mb = _mb(src)
+                if expected_rows is not None:
+                    mb = mb.expect_source_rows(expected_rows)
+                try:
+                    res = mb.execute(self.spark)
+                except MergeValidationError:
+                    # same-seq redelivery hit the winner set: the merge
+                    # aborted before commit; re-derive winners with the
+                    # duplicate-collapsing agg strategy and re-merge
+                    res = _mb(_agg_retry_src()).execute(self.spark)
             latency_ms = int((time.monotonic() - t0) * 1000)
 
             if len(lin):
@@ -464,13 +522,29 @@ class CDCPipeline:
         the strategy choice is purely physical.
         """
         strategy = self.lww_strategy
+        self._deferred_winner_check: int | None = None
         if strategy == "broadcast" and n_keys > self.broadcast_cap:
             strategy = "agg"
         if strategy == "broadcast" and self.verify_unique_seq and n_events:
-            # one narrow-column job; a same-seq redelivery breaks the
-            # fast path's precondition, so that epoch takes agg
-            if events.select("seq").distinct().count() != n_events:
-                strategy = "agg"
+            if self.dedup_store is not None:
+                # the composed path must not feed unverified winners to
+                # the dedup store (its verdicts commit before the merge
+                # could detect the violation), so it keeps the upfront
+                # narrow-column job
+                if events.select("seq").distinct().count() != n_events:
+                    strategy = "agg"
+            else:
+                # plain path: fold the check into the merge/append
+                # write action itself (guide §1.2 — no extra pass for
+                # an invariant the running pass can observe): a
+                # same-seq redelivery hitting the winner set yields
+                # more than one source row per key, detected as a
+                # source-row-count mismatch BEFORE the commit; the
+                # epoch then falls back to the agg strategy. A
+                # redelivered seq OUTSIDE the winner set joins to
+                # nothing, so the winner rows — and the final state —
+                # are identical to the agg strategy's.
+                self._deferred_winner_check = int(n_keys)
         self.last_lww_strategy = strategy
         if strategy == "broadcast":
             return events.join(

@@ -325,6 +325,26 @@ def test_duplicate_seq_redelivery_converges(spark, tmp_warehouse):
     assert state.count() == n_keys, "duplicate rows per key in target"
 
 
+def test_duplicate_seq_redelivery_converges_mor(spark, tmp_warehouse):
+    """Same redelivery scenario through the MOR arm: the deferred
+    winner check (delta row count from parquet footers, validated
+    between write and commit) must abort the oversized delta and
+    re-append via the agg strategy — no duplicate winner rows land."""
+    from getl_spark.events import generate_change_events
+
+    ev = generate_change_events(spark, 1000, n_keys=80, n_repos=4, seed=17)
+    dup = ev.unionAll(ev.filter(F.col("seq") % 7 == 0))
+    pipe = CDCPipeline(spark, tmp_warehouse, num_buckets=8, merge_mode="mor")
+    pipe.replay(dup, 1000, max_seq=1000)
+    assert pipe.last_lww_strategy == "agg"  # deferred verification tripped
+    # the committed delta must hold exactly one winner row per key
+    delta = pipe.target.read(spark)
+    n_keys = delta.select("repo", "path").distinct().count()
+    assert delta.count() == n_keys, "duplicate winner rows in MOR delta"
+    state = pipe.state()
+    assert state.count() == state.select("repo", "path").distinct().count()
+
+
 def test_two_pipelines_share_lineage_without_collision(spark, tmp_warehouse):
     """Same warehouse, two pipelines, same epoch numbers: lineage rows
     are scoped per pipeline (previously the repair path deleted the
