@@ -122,14 +122,21 @@ def _is_maintenance(summ: dict) -> bool:
 
 
 def _data_summaries(table) -> list[dict]:
-    """Summaries of snapshots that added rows (appends with content);
-    creation, empty-replay, and maintenance snapshots don't count."""
+    """Summaries of snapshots that added rows (appends with content) —
+    plus ZERO-row appends that carry a ``batch`` token: a judged batch
+    whose banded/vector rows happen to be empty still stamps its done
+    marker and ``heals`` claims through its summary, and skipping it
+    would leave its tail pending (and heal scans running) forever
+    (ADVICE r7 #3). Creation, unstamped empty-replay, and maintenance
+    snapshots don't count."""
     out = []
     for snap in table.meta["snapshots"]:
         summ = snap.get("summary") or {}
         if _is_maintenance(summ):
             continue
-        if summ.get("added_rows", 0) > 0 and snap.get("operation") == "append":
+        if snap.get("operation") == "append" and (
+            summ.get("added_rows", 0) > 0 or "batch" in summ
+        ):
             out.append(summ)
     return out
 
@@ -147,7 +154,9 @@ def _watermark(table, key: str) -> tuple[int | None, bool]:
         summ = snap.get("summary") or {}
         if _is_maintenance(summ):
             continue
-        if summ.get("added_rows", 0) <= 0:
+        # zero-row appends count when stamped (see _data_summaries):
+        # their batch WAS judged, so the watermark must advance past it
+        if summ.get("added_rows", 0) <= 0 and "batch" not in summ:
             continue
         if snap.get("operation") != "append":
             modern = False
@@ -190,10 +199,13 @@ def _pending_tails(prior, done, key: str) -> list[dict]:
     batch occupies (harmless: carving empty id space out of the
     membership probe changes nothing).
     """
-    done_toks = set()
+    done_toks, stamped_committed = set(), []
     for s in _data_summaries(done):
         done_toks.add(s.get("batch"))
         done_toks.update(s.get("heals") or [])
+        # STAMPED committed spans only — legacy inferred ranges are a
+        # superset guess and must not shrink a tail (ADVICE r7 #1)
+        stamped_committed.extend(s.get("id_ranges") or [])
     tails, prev_hi = [], None
     for s in _data_summaries(prior):
         tok = s.get("batch")
@@ -207,6 +219,25 @@ def _pending_tails(prior, done, key: str) -> list[dict]:
             prev_hi = hi if prev_hi is None else max(prev_hi, hi)
         if tok is None or tok in done_toks or not ranges:
             continue
+        if stamped_committed:
+            # A replay that only PARTIALLY covered this tail (crash,
+            # then restart with a smaller epoch size) committed a SLICE
+            # of its ids under its own token + id_ranges stamp. Those
+            # ids are judged and done: subtract every stamped committed
+            # span so (a) the reprocess carve-out shrinks to the truly
+            # uncovered remainder — re-including them would re-append
+            # their band/vector rows and break cap exactness — and (b)
+            # a tail whose every range is covered resolves outright
+            # instead of forcing heal scans on all future batches.
+            shrunk = []
+            for l, h in ranges:
+                if h is None:
+                    shrunk.append([l, h])
+                    continue
+                shrunk.extend(_subtract_ranges(l, h, stamped_committed))
+            if not shrunk:
+                continue  # fully covered by stamped commits — resolved
+            ranges = shrunk
         tails.append({"batch": tok, "hi": hi, "ranges": ranges})
     return tails
 
@@ -291,7 +322,7 @@ def _subtract_ranges(lo: int, hi: int, committed: list) -> list[list[int]]:
     contract (``ranges never claim committed ids``) on the
     require_monotonic=False path: a crash there must not leave a tail
     whose reprocess carve-out swallows other batches' committed ids."""
-    spans = [[int(lo), int(hi)]]
+    spans = [[None if lo is None else int(lo), int(hi)]]
     for cl, ch in committed:
         if ch is None:
             continue
@@ -299,17 +330,18 @@ def _subtract_ranges(lo: int, hi: int, committed: list) -> list[list[int]]:
         cl = int(cl) if cl is not None else None
         nxt = []
         for sl, sh in spans:
-            if ch < sl or (cl is not None and cl > sh):
+            # sl None = unbounded below (legacy inferred tail range)
+            if (sl is not None and ch < sl) or (cl is not None and cl > sh):
                 nxt.append([sl, sh])
                 continue
-            if cl is not None and cl > sl:
+            if cl is not None and (sl is None or cl > sl):
                 nxt.append([sl, min(sh, cl - 1)])
             if ch < sh:
                 nxt.append([ch + 1, sh])
         spans = nxt
         if not spans:
             break
-    return sorted(spans)
+    return sorted(spans, key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
 
 
 def _effective_ranges(
@@ -641,6 +673,29 @@ class DedupStore:
             "max_doc_id": int(batch_hi), "id_ranges": eff,
         }
         healed = _healed_tokens(tails, int(lo_raw), int(hi_raw))
+        if healed:
+            # The heals stamp is a metadata CLAIM derived from input
+            # SPAN coverage. Verify it against rows before trusting it:
+            # the crashed batch's ids are durable in the docs table
+            # (its append succeeded), so any of them missing from this
+            # input means the whole-batch replay contract was violated
+            # — stamping the heal would permanently mark un-judged ids
+            # as committed (silent under-dedup, ADVICE r7 #2). Drop
+            # ALL heal claims in that case: the tails stay pending
+            # (still reprocessable — safe) and a conforming replay
+            # heals them later. Runs only on the rare crash-replay path.
+            claim_tails = [t for t in tails if t["batch"] in set(healed)]
+            claim_cond = _reprocess_cond(claim_tails, F.col("doc_id"))
+            if claim_cond is not None:
+                stored_tail_ids = (
+                    self.docs.read(spark).select("doc_id").filter(claim_cond)
+                )
+                missing = stored_tail_ids.join(
+                    docs.select(did.alias("doc_id")), "doc_id", "left_anti"
+                ).limit(1).collect()
+                if missing:
+                    stats["heal_claims_dropped"] = list(healed)
+                    healed = []
         if healed:
             stats["healed_tails"] = list(healed)
 
@@ -1216,6 +1271,22 @@ class EmbDedupStore:
             "max_vec_id": int(batch_hi), "id_ranges": eff,
         }
         healed = _healed_tokens(tails, int(lo_raw), int(hi_raw))
+        if healed:
+            # same row-level verification of the span-derived heal
+            # claim as the text store (ADVICE r7 #2): the crashed
+            # batch's ids are durable in the buckets table
+            claim_tails = [t for t in tails if t["batch"] in set(healed)]
+            claim_cond = _reprocess_cond(claim_tails, F.col("vec_id"))
+            if claim_cond is not None:
+                stored_tail_ids = (
+                    self.buckets.read(spark).select("vec_id").filter(claim_cond)
+                )
+                missing = stored_tail_ids.join(
+                    vectors.select(vid.alias("vec_id")), "vec_id", "left_anti"
+                ).limit(1).collect()
+                if missing:
+                    stats["heal_claims_dropped"] = list(healed)
+                    healed = []
         if healed:
             stats["healed_tails"] = list(healed)
 

@@ -424,23 +424,36 @@ class FTPFileManager(FileManager):
 
     def rename(self, src: str, dst: str) -> None:
         import ftplib
+        import uuid as _uuid
 
         # many servers refuse RNTO onto an existing file; mirror the
         # SFTP fallback so upload() can overwrite an already-landed
         # destination (re-copy after a story gap / changed source).
-        # Delete dst ONLY when the refusal is plausibly RNTO-onto-
-        # existing — src still present to rename AND dst actually
-        # there. Any other 5xx (RNFR on a vanished src, quota, dir
-        # perms) re-raises with dst left intact: delete-then-fail-
-        # again would destroy the previously landed file and leave
-        # NEITHER copy (ADVICE r6 #4).
+        # The fallback must never destroy the landed dst on an
+        # UNRELATED failure (dir write perms, quota): the old delete-
+        # then-rename left NEITHER copy when the retry rename failed
+        # too (ADVICE r7 #4). Instead move dst ASIDE, rename src onto
+        # dst, then drop the aside copy — restoring the aside if the
+        # second rename also fails, so dst survives every failure mode.
         try:
             self.ftp.rename(src, dst)
         except ftplib.error_perm:
             if not self.exists(src) or not self.exists(dst):
                 raise
-            self.ftp.delete(dst)
-            self.ftp.rename(src, dst)
+            aside = f"{dst}.aside-{_uuid.uuid4().hex[:8]}"
+            self.ftp.rename(dst, aside)
+            try:
+                self.ftp.rename(src, dst)
+            except ftplib.error_perm:
+                try:
+                    self.ftp.rename(aside, dst)  # restore the landed copy
+                except ftplib.error_perm:
+                    # dst name unusable (e.g. half-created): the landed
+                    # bytes survive under the aside name rather than
+                    # being destroyed
+                    pass
+                raise
+            self.ftp.delete(aside)
 
 
 class _FTPReadStream:

@@ -519,6 +519,102 @@ def test_remove_orphans_cleans_crashed_batch_files(spark, corpus, tmp_path):
     assert kept == [102]
 
 
+def test_crash_tail_partial_replay_slices_converge(spark, corpus, tmp_path):
+    """ADVICE r7 #1 (medium): batch A crashes before its index commit,
+    then is replayed in TWO smaller slices (restart with a smaller
+    epoch size). Each slice commits its ids under its own id_ranges
+    stamp; the pending tail must SHRINK by those stamped committed
+    spans — re-replaying the first slice afterwards must be a story
+    no-op (not a reprocess that re-appends duplicate band rows), the
+    second slice must heal the (shrunk) tail outright, and future
+    batches must run without heal scans."""
+    wh = str(tmp_path / "wh")
+    store = DedupStore(wh, **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100")).count()
+
+    batch_a = corpus.filter("doc_id >= 100 AND doc_id < 200")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the index commit")
+
+    store.index.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.add_batch(spark, batch_a)
+
+    # replay A as two smaller slices
+    s1 = DedupStore(wh, **PARAMS)
+    kept1 = _ids(s1.add_batch(spark, corpus.filter("doc_id IN (101, 102)")))
+    assert kept1 == [102]  # 101 ~ 1 dropped, as in the clean run
+
+    # re-replaying slice 1 must now read as committed (its ids carry a
+    # stamped id_ranges commit), NOT as the tail's reprocessable ids —
+    # the old behavior re-judged them and duplicated index rows
+    s1b = DedupStore(wh, **PARAMS)
+    assert s1b.add_batch(spark, corpus.filter("doc_id IN (101, 102)")).count() == 0
+    assert s1b.last_batch_stats["story_path"] == "watermark-replay-noop", (
+        s1b.last_batch_stats
+    )
+    idx = s1b.index.read(spark).filter("doc_id IN (101, 102)")
+    assert idx.count() == idx.distinct().count()
+
+    # slice 2 covers the tail's uncovered remainder — heals it
+    s2 = DedupStore(wh, **PARAMS)
+    kept2 = _ids(s2.add_batch(spark, corpus.filter("doc_id = 103")))
+    assert kept2 == []  # 103 ~ 4 dropped, as in the clean run
+    assert s2.last_batch_stats.get("healed_tails"), s2.last_batch_stats
+
+    # verdicts match the clean run; no duplicate rows anywhere
+    rej = s2.rejected_of(
+        spark, spark.createDataFrame([(101,), (102,), (103,)], "doc_id bigint")
+    )
+    assert {(r.doc_id, r.dup_of) for r in rej.collect()} == {(101, 1), (103, 4)}
+    docs_df = s2.docs.read(spark)
+    assert docs_df.count() == docs_df.select("doc_id").distinct().count()
+    idx = s2.index.read(spark)
+    assert idx.count() == idx.distinct().count()
+
+    # tail fully resolved: the next batch runs without heal scans
+    s3 = DedupStore(wh, **PARAMS)
+    kept3 = _ids(s3.add_batch(spark, corpus.filter("doc_id >= 200")))
+    assert kept3 == [202]  # 201 ~ 102 dropped, as in the clean run
+    assert s3.last_batch_stats["heal"] is False, s3.last_batch_stats
+
+
+def test_zero_row_done_marker_with_token_counts(spark, corpus, tmp_path):
+    """ADVICE r7 #3: a done-marker append that adds ZERO rows but
+    carries a batch token (a judged batch whose banded rows are empty)
+    must still surface through _data_summaries/_watermark — losing it
+    would leave its tail pending (heal scans forever)."""
+    from getl_spark.dedupstore import _data_summaries, _pending_tails, _watermark
+
+    store = DedupStore(str(tmp_path / "wh"), **PARAMS)
+    store.add_batch(spark, corpus.filter("doc_id < 100")).count()
+    hi0, modern0 = _watermark(store.index, "max_doc_id")
+    assert modern0 and hi0 is not None
+
+    # simulate a crashed batch (docs committed, index not) ...
+    store.docs.append(
+        spark.createDataFrame([(500, "tail doc")], "doc_id bigint, text string"),
+        {"op": "add_batch", "batch": "tok-tail", "max_doc_id": 500,
+         "id_ranges": [[500, 500]]},
+    )
+    assert [t["batch"] for t in _pending_tails(store.docs, store.index, "max_doc_id")] == [
+        "tok-tail"
+    ]
+    # ... whose healing replay happens to append zero index rows: the
+    # empty append still carries the token + heals claim
+    empty = store.index.read(spark).limit(0)
+    store.index.append(
+        empty,
+        {"op": "add_batch", "batch": "tok-heal", "max_doc_id": 500,
+         "id_ranges": [[500, 500]], "heals": ["tok-tail"]},
+    )
+    assert any(s.get("batch") == "tok-heal" for s in _data_summaries(store.index))
+    hi, modern = _watermark(store.index, "max_doc_id")
+    assert modern and hi == 500
+    assert _pending_tails(store.docs, store.index, "max_doc_id") == []
+
+
 def test_crash_tail_replayed_after_later_batch_commits(spark, corpus, tmp_path):
     """ADVICE r6 (high): batch A crashes before its index commit, then a
     LATER batch B commits fully, advancing the index watermark past A's
