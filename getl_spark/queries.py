@@ -24,23 +24,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from getl_spark.functions import dedupe, simsearch, text
-from getl_spark.partitioning import widen_small_scan
-
-
-# Tables whose queries are dominated by scan-stage CPU (sha256
-# shingling, SimHash bit aggregation, cosine folds over vectors) —
-# single-file fixtures otherwise run that work as ONE task regardless
-# of core count. Relational tables are deliberately NOT widened: their
-# queries aggregate/join (shuffle-bound), and the extra round-robin
-# exchange measurably slowed them (tpch_q1 1.0s -> 1.6s at sf1).
-_CPU_HEAVY_TABLES = {"documents", "embeddings"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _CPU_HEAVY_TABLES:
-        df = widen_small_scan(df)
-    return df
+    # Deliberately NO widen_small_scan here: the CPU-heavy sketch
+    # operators widen their scan-rooted inputs inside the library
+    # functions themselves (minhash/simhash signatures, winnow,
+    # cosine_topk, _bucketed), and widening at the read layer measurably
+    # slowed everything else — relational queries are aggregate/join-
+    # bound (tpch_q1 1.0s -> 1.6s at sf1) and the small per-doc hash
+    # queries pay more for the extra exchange than the parallelism
+    # returns (dedup_exact 0.71s -> 0.95s, fingerprint 0.09s -> 0.23s).
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _dec(col, p=18, s=2):
