@@ -261,9 +261,12 @@ def embedding_near_dups(
     # would otherwise be pushed into the attach-join condition AND
     # re-evaluated in the output project — the dot fold then runs
     # TWICE per candidate pair (observed in the plan as two zip_with
-    # evals). The always-true nondeterministic guard pins the score to
-    # a single materialized evaluation; the value is unchanged.
-    score = F.when(F.rand(7) >= F.lit(-1.0), score)
+    # evals). A nondeterministic identity pins the score to a single
+    # materialized evaluation: shuffle() of a 1-element array is
+    # value-exact but cannot be constant-folded or pushed through
+    # (a rand()-based always-true guard WAS folded away by the
+    # optimizer, restoring the double evaluation).
+    score = F.shuffle(F.array(score)).getItem(0)
     return (
         cand.join(av, "a_id")
         .join(bv, "b_id")
