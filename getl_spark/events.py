@@ -45,6 +45,43 @@ def _hash_u(col, salt: int, mod: int):
     return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(mod))
 
 
+def _murmur3_int(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of a 4-byte int (what ``F.hash`` /
+    ``HashPartitioning`` compute for an IntegerType column), signed.
+    Pinned against ``F.hash`` by ``test_events.test_murmur3_matches``."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (v & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = (seed & 0xFFFFFFFF) ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # fmix: total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _identity_route(num_parts: int) -> list[int]:
+    """``lut`` with ``pmod(murmur3(lut[p]), num_parts) == p`` for every
+    partition p: ``repartition(P, element_at(lut, block+1))`` then
+    routes contiguous block b exactly to partition b — the file layout
+    of ``repartitionByRange`` with NO sampling pass (the sampling job
+    re-executes the whole upstream plan; here the ``seq`` distribution
+    is known uniform by construction, so sampling is pure waste)."""
+    lut: dict[int, int] = {}
+    v = 0
+    while len(lut) < num_parts:
+        p = _murmur3_int(v) % num_parts
+        if p not in lut:
+            lut[p] = v
+        v += 1
+    return [lut[p] for p in range(num_parts)]
+
+
 def commit_expr(repo, path, seq):
     """Deterministic 40-hex commit id from (repo, path, seq)."""
     h = [F.lower(F.lpad(F.hex(F.xxhash64(repo, path, seq, F.lit(i))), 16, "0")) for i in range(3)]
@@ -91,18 +128,17 @@ def generate_change_events(
     key_id = F.least(
         F.floor(F.lit(n_keys) * F.pow(u, F.lit(skew))).cast("long"), F.lit(n_keys - 1)
     )
-    repo_id = (key_id / keys_per_repo).cast("long")
-    path_id = key_id % keys_per_repo
-    ext = F.element_at(F.array(*[F.lit(e) for e in _EXTS]), (_hash_u(key_id, seed + 9, len(_EXTS)) + 1).cast("int"))
 
+    # The pre-window frame carries ONLY what the op state machine
+    # needs (seq, key, draws): every other output column — key id,
+    # repo/path/lang strings, commit, content — is a pure function of
+    # seq, so it is re-derived BELOW the final exchange instead of
+    # being computed here and pushed through two shuffles and the
+    # window sort (guide §2.3: shuffle slim rows, synthesize payloads
+    # once, above nothing).
     df = rng.select(
         seq.alias("seq"),
         key_id.alias("_key"),
-        F.concat(F.lit("org"), F.pmod(repo_id, F.lit(97)), F.lit("/proj"), repo_id).alias("repo"),
-        F.concat(
-            F.lit("src/dir"), F.pmod(path_id, F.lit(16)), F.lit("/file"), path_id, F.lit("."), ext
-        ).alias("path"),
-        ext.alias("lang"),
         (_hash_u(seq, seed + 1, 100) < int(delete_rate * 100)).alias("_draw_d"),
         (_hash_u(seq, seed + 2, 100) < int(dup_rate * 100)).alias("_dup"),
     )
@@ -128,49 +164,79 @@ def generate_change_events(
         .when(F.col("_draw_d"), F.lit("D"))
         .otherwise(F.lit("U"))
     )
-    df = df.withColumn("_op_base", op_base).withColumn(
-        "_commit_base", commit_expr(F.col("repo"), F.col("path"), F.col("seq"))
-    )
-    # duplicate delivery: re-emit the key's last real event (op+commit)
-    # at a new, higher seq — idempotent under LWW by construction.
+    df = df.withColumn("_op_base", op_base)
+    # duplicate delivery: re-emit the key's last real event at a new,
+    # higher seq — idempotent under LWW by construction. Carry the
+    # real event's op and SEQ only: commit is a pure function of
+    # (repo, path, seq) and repo/path are shared within a key, so the
+    # dup's commit/content re-derive from ``_commit_seq`` below the
+    # exchange — the window stage no longer computes or carries
+    # 40-byte commit strings.
     df = df.withColumn(
         "_prev_real_op", F.last(F.when(nondup, F.col("_op_base")), ignorenulls=True).over(w_prev)
     ).withColumn(
-        "_prev_real_commit",
-        F.last(F.when(nondup, F.col("_commit_base")), ignorenulls=True).over(w_prev),
+        "_prev_real_seq",
+        F.last(F.when(nondup, F.col("seq")), ignorenulls=True).over(w_prev),
     )
     df = df.withColumn(
         "op", F.when(F.col("_is_dup"), F.col("_prev_real_op")).otherwise(F.col("_op_base"))
     )
     df = df.withColumn(
-        "commit",
-        F.when(F.col("_is_dup"), F.col("_prev_real_commit")).otherwise(F.col("_commit_base")),
+        "_commit_seq",
+        F.when(F.col("_is_dup"), F.col("_prev_real_seq")).otherwise(F.col("seq")),
     )
-    # Restore the seq-range layout BEFORE synthesizing content: the
-    # range exchange's sampling pass re-executes its child plan, and
-    # the exchange itself moves every byte of its input — doing both
-    # over the slim op-machine rows instead of the ~1 KB content
-    # strings means the heavy payload is generated exactly once, above
-    # the exchange (guide §2.3: shuffle metadata, not payloads). The
-    # marker attribute lets write_event_log skip its own (second)
-    # range repartition for frames that already carry this layout.
-    slim = df.select("seq", "op", "repo", "path", "commit", "lang")
-    slim = (
-        slim.repartitionByRange(partitions, "seq")
-        if partitions
-        else slim.repartitionByRange("seq")
+    # Restore the seq-range layout BEFORE synthesizing the wide
+    # columns: the exchange then moves only (seq, op, _commit_seq) ≈
+    # 25 B/row, and the payload strings are generated exactly once,
+    # below it (guide §2.3: shuffle metadata, not payloads). ``seq``
+    # is uniform on [1, n_events] BY CONSTRUCTION, so instead of
+    # ``repartitionByRange`` — whose sampling pass re-executes the
+    # whole upstream plan (range → window) as an extra job — route
+    # contiguous seq blocks to partitions exactly via a Murmur3-
+    # inverting lookup: same one-file-per-seq-range layout, no
+    # sampling job. The marker attribute lets write_event_log skip
+    # its own (second) range repartition for frames that already
+    # carry this layout.
+    # _key rides along (8 B/row) rather than being re-derived below the
+    # exchange: recomputing it costs an xxhash64 + pow per row, more
+    # than its shuffle bytes.
+    slim = df.select("seq", "op", "_commit_seq", "_key")
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_parts <= 4096:
+        block_size = -(-n_events // n_parts)  # ceil
+        route = F.element_at(
+            F.array(*[F.lit(x).cast("int") for x in _identity_route(n_parts)]),
+            ((F.col("seq") - 1) / block_size).cast("int") + 1,
+        )
+        slim = slim.repartition(n_parts, route)
+    else:
+        # LUT-as-literal-array stops scaling; sampling amortizes here
+        slim = slim.repartitionByRange(n_parts, "seq")
+
+    # Below the exchange: every wide column re-derived from (seq,
+    # _key) with the SAME expressions as before the restructure
+    # (bit-identical output, pinned by test_events.test_deterministic
+    # + the cross-version row-hash check in OPTIMIZATION_r08.md).
+    key2 = F.col("_key")
+    repo_id = (key2 / keys_per_repo).cast("long")
+    path_id = key2 % keys_per_repo
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXTS]), (_hash_u(key2, seed + 9, len(_EXTS)) + 1).cast("int")
     )
+    repo = F.concat(F.lit("org"), F.pmod(repo_id, F.lit(97)), F.lit("/proj"), repo_id)
+    path = F.concat(
+        F.lit("src/dir"), F.pmod(path_id, F.lit(16)), F.lit("/file"), path_id, F.lit("."), ext
+    )
+    commit = commit_expr(repo, path, F.col("_commit_seq"))
     out = slim.select(
         "seq",
         "op",
-        "repo",
-        "path",
-        "commit",
-        "lang",
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        ext.alias("lang"),
         F.when(F.col("op") == "D", F.lit(None).cast("string"))
-        .otherwise(
-            content_expr(F.col("repo"), F.col("path"), F.col("commit"), content_min, content_max)
-        )
+        .otherwise(content_expr(repo, path, commit, content_min, content_max))
         .alias("content"),
         F.timestamp_seconds(F.lit(_TS_BASE) + F.col("seq")).alias("event_ts"),
     )

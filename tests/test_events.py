@@ -89,3 +89,45 @@ def test_event_ts_derived_from_seq(spark, events):
         F.unix_timestamp("event_ts") != (F.lit(1700000000) + F.col("seq"))
     ).count()
     assert bad == 0
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """_identity_route's partition routing rests on _murmur3_int being
+    exactly Spark's Murmur3 int hash (seed 42) — pin it against
+    F.hash over a value sample including negatives and extremes."""
+    from getl_spark.events import _identity_route, _murmur3_int
+
+    vals = list(range(0, 64)) + [2**31 - 1, -(2**31), -1, -17, 987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v int").select(
+        "v", F.hash("v").alias("h")
+    )
+    got = {r.v: r.h for r in df.collect()}
+    assert all(got[v] == _murmur3_int(v) for v in vals)
+    # and the lookup inverts the partitioner for a few sizes
+    for p in (1, 4, 21, 64):
+        lut = _identity_route(p)
+        assert [_murmur3_int(x) % p for x in lut] == list(range(p))
+
+
+def test_event_log_files_are_tight_seq_blocks(spark, tmp_path):
+    """The identity-routed layout must keep write_event_log's contract:
+    each parquet file covers one contiguous seq range, no overlaps —
+    this is what lets replay's epoch slices prune whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from getl_spark.events import generate_change_events, write_event_log
+
+    ev = generate_change_events(spark, 8000, n_keys=400, n_repos=16, seed=11, partitions=8)
+    path = str(tmp_path / "log")
+    write_event_log(ev, path)
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        stats = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        assert md.schema[0].name == "seq"
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert ranges[0][0] == 1 and ranges[-1][1] == 8000
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
