@@ -222,11 +222,33 @@ def embedding_near_dups(
         raise ValueError("embedding_near_dups requires dim explicitly")
     if n_bits is None:
         n_bits = auto_n_bits(corpus.select(id_col).count())
+    # The bucket self-join below is EXPLOSIVE: output pairs are
+    # quadratic in bucket occupancy while its input is tiny (ids +
+    # bucket ints), so AQE — which sizes post-shuffle partitions by
+    # INPUT bytes — coalesces the join stage to one task and the
+    # whole candidate stream serializes on one core (observed at
+    # sf1.0: 7.5M pairs from a 1-task stage, 2.4s of a 6s query).
+    # Two measured fixes (guide §2.5, §3.1):
+    # 1. an explicit-count repartition on the join keys (exempt from
+    #    AQE coalescing) placed BELOW the cap window — same keys, so
+    #    the plan still has exactly ONE exchange, now at fixed width;
+    # 2. a shuffled-hash hint: the default strategy broadcasts the
+    #    tiny build side, which DUPLICATES the whole scan→UDF→window
+    #    pipeline into the broadcast build and pays a per-task
+    #    relation cost; SHJ lets both sides REUSE the single exchange.
+    # Width = half the cores (min 8): the sweep at sf0.1/sf1.0 put
+    # the knee there — pair generation is ~3 µs/pair, so a handful of
+    # tasks saturates it, while every extra partition re-pays the
+    # probe-side fixed cost. Derived from defaultParallelism, not a
+    # local constant.
+    sc = corpus.sparkSession.sparkContext
+    n_parts = max(8, sc.defaultParallelism // 2)
     banded = _cap_vec_buckets(
-        _bucketed(corpus, id_col, vec_col, "_id", dim, n_bits, n_tables, seed),
+        _bucketed(corpus, id_col, vec_col, "_id", dim, n_bits, n_tables, seed)
+        .repartition(n_parts, "tbl", "bucket"),
         max_bucket,
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,
