@@ -144,24 +144,33 @@ def minhash_signatures_df(
     ex = widen_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(sh).alias("_s")
     )
+    # The K hash/min expressions are built as SQL strings, not Column
+    # ops: every Column method is one py4j round trip (~0.5-1 ms), and
+    # the per-column loops cost ~0.5 s of DRIVER time per query build
+    # at K=32 (measured with cProfile: plan CONSTRUCTION, not
+    # execution, guide §5). selectExpr/expr parse the same trees in
+    # one JVM call; resolved expressions — and therefore values and
+    # codegen — are identical (sha mode: the per-block sha2 subtrees
+    # are identical across the 4 slice columns, so codegen CSE still
+    # computes each digest once).
     cols = []
     if hash_fn == "xxhash64":
         for i in range(num_hashes):
-            cols.append(F.xxhash64(F.col("_s"), F.lit(i)).alias(f"mh{i}"))
+            cols.append(f"xxhash64(_s, {i}) AS mh{i}")
     elif hash_fn == "sha256":
         for block in range((num_hashes + 3) // 4):
-            digest = F.sha2(F.concat(F.lit(f"{block}:"), F.col("_s")), 256)
+            digest = f"sha2(concat('{block}:', _s), 256)"
             for off_i in range(4):
                 i = block * 4 + off_i
                 if i >= num_hashes:
                     break
-                cols.append(F.substring(digest, off_i * 15 + 1, 15).alias(f"mh{i}"))
+                cols.append(f"substring({digest}, {off_i * 15 + 1}, 15) AS mh{i}")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return (
-        ex.select(id_col, *cols)
+        ex.selectExpr(f"`{id_col}`", *cols)
         .groupBy(id_col)
-        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)])
+        .agg(*[F.expr(f"min(mh{i}) AS mh{i}") for i in range(num_hashes)])
     )
 
 
@@ -203,25 +212,20 @@ def minhash_banded_rows(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words, hash_fn)
 
+    # SQL-string construction for the same driver-time reason as
+    # minhash_signatures_df (values/codegen identical)
     def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        joined = "concat_ws(',', {})".format(
+            ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
         )
-        return joined if hash_fn == "sha256" else F.xxhash64(joined).cast("string")
+        return joined if hash_fn == "sha256" else f"CAST(xxhash64({joined}) AS STRING)"
 
+    bands_sql = ", ".join(
+        f"struct({b} AS band_id, {band_key(b)} AS band_hash)" for b in range(bands)
+    )
     return sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"), band_key(b).alias("band_hash")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({bands_sql}))").alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
@@ -582,17 +586,20 @@ def simhash_signatures_df(
     ex = widen_small_scan(df.select(id_col, text_col)).select(F.col(id_col), toks)
     h = sha_hash60(F.col("_t")) if hash_fn == "sha256" else F.xxhash64(F.col("_t"))
     ex = ex.select(id_col, h.alias("_h"))
-    sums = ex.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.getbit(F.col("_h"), F.lit(i)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(n_bits)
-        ]
+    # ONE aggregate expression built as a SQL string: the former
+    # per-bit Column loops (n_bits sum columns + an n_bits-term sign
+    # fold) cost ~1.5 s of DRIVER plan-construction time per query
+    # build at 60+ bits — one py4j round trip per Column method call
+    # (measured with cProfile; guide §5). The parsed tree aggregates
+    # into the same n_bits sum buffers and projects the same sign
+    # fold, so values and codegen are identical; the b{i} intermediate
+    # columns simply never get names.
+    sig_sql = " + ".join(
+        f"CAST(CASE WHEN sum(CASE WHEN getbit(_h, {i}) = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END AS BIGINT)"
+        for i in range(n_bits)
     )
-    sig = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-        sig = bit if sig is None else sig + bit
-    return sums.select(id_col, sig.alias("simhash"))
+    return ex.groupBy(id_col).agg(F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_duplicates(
@@ -628,22 +635,15 @@ def simhash_duplicates(
     # the signature rides the explode ONLY when the verify needs it —
     # candidate-only mode keeps the narrow shuffle rows
     carry = ["simhash"] if hamming_k is not None else []
+    bands_sql = ", ".join(
+        f"struct({b} AS band_id,"
+        f" shiftrightunsigned(simhash, {b * band_bits}) & {mask} AS band_val)"
+        for b in range(bands)
+    )
     banded = sig.select(
         id_col,
         *carry,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned("simhash", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({bands_sql}))").alias("band"),
     ).select(id_col, *carry, "band.band_id", "band.band_val")
     banded = _cap_buckets(banded, ["band_id", "band_val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
