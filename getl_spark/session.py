@@ -60,6 +60,18 @@ def get_spark(
         # lz4 is stall-free. On a real multi-executor cluster zstd is
         # fine (fewer threads per JVM) — override via extra_conf.
         .config("spark.sql.parquet.compression.codec", os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
+        # File-listing strategy: above this many paths Spark launches a
+        # DISTRIBUTED listing job — one task per path. A MOR table a
+        # few epochs in holds O(100) delta files, so with the default
+        # threshold (32) every read paid a ~0.5 s 248-task job just to
+        # stat local files (measured; ~1 s per bench replay). Local
+        # filesystems stat thousands of paths in microseconds
+        # driver-side; on an object store with 10k+ files per table,
+        # lower this back via env so listing distributes again.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "4096"),
+        )
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
