@@ -771,3 +771,24 @@ def test_ivf_trained_centroids_beat_random_and_stay_exact_at_probe_all(spark):
         for r in simsearch.cosine_topk(emb, queries, k=5).collect()
     }
     assert probe_all == brute
+
+
+def test_embedding_near_dups_candidate_join_is_wide_shj(spark):
+    """r8 optimization pin: the LSH bucket self-join is explosive
+    (quadratic output from a tiny input), so AQE used to coalesce its
+    stage to ONE task; and the default broadcast strategy duplicated
+    the whole scan->UDF->window pipeline into the broadcast build.
+    The plan must keep a ShuffledHashJoin on the band keys fed by an
+    explicit-width repartition (REPARTITION_BY_NUM survives into the
+    plan and is exempt from AQE coalescing)."""
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = simsearch.embedding_near_dups(
+        vecs, threshold=0.99, dim=8, n_bits=4, n_tables=2, max_bucket=100
+    )
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in physical
+    assert "ShuffledHashJoin" in physical
+    assert "BroadcastNestedLoop" not in physical
